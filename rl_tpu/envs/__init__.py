@@ -1,0 +1,31 @@
+from .base import Env, step_mdp, check_env_specs, EnvMetaData
+from .batched import BatchedEnv, SerialEnv, ParallelEnv
+from .classic import (
+    CartPoleEnv,
+    PendulumEnv,
+    MountainCarEnv,
+    ContinuousMountainCarEnv,
+)
+from .wrappers import FrameSkipEnv, NoopResetEnv
+from . import transforms
+from .transforms import Transform, Compose, TransformedEnv
+
+__all__ = [
+    "Env",
+    "step_mdp",
+    "check_env_specs",
+    "EnvMetaData",
+    "BatchedEnv",
+    "SerialEnv",
+    "ParallelEnv",
+    "CartPoleEnv",
+    "PendulumEnv",
+    "MountainCarEnv",
+    "ContinuousMountainCarEnv",
+    "FrameSkipEnv",
+    "NoopResetEnv",
+    "transforms",
+    "Transform",
+    "Compose",
+    "TransformedEnv",
+]

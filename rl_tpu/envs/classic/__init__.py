@@ -1,0 +1,5 @@
+from .cartpole import CartPoleEnv
+from .pendulum import PendulumEnv
+from .mountain_car import MountainCarEnv, ContinuousMountainCarEnv
+
+__all__ = ["CartPoleEnv", "PendulumEnv", "MountainCarEnv", "ContinuousMountainCarEnv"]
