@@ -1,0 +1,174 @@
+"""ReplayBuffer — Storage × Sampler × Writer composition.
+
+Counterpart of the reference composition class
+(``/root/reference/torchrl/data/replay_buffers/replay_buffers.py``:
+``ReplayBuffer`` :126, ``add`` :1341, ``extend`` :1457, ``sample`` :1543,
+``update_priority`` :1498; ``TensorDictReplayBuffer`` :2187,
+``PrioritizedReplayBuffer`` :1902).
+
+Two layers:
+
+* a **functional core** — ``init/extend/sample/update_priority`` over an
+  explicit ``rb_state`` pytree, fully jittable, composable into a fused
+  training step (device-resident replay);
+* a thin **stateful wrapper** with the reference's imperative API
+  (``rb.extend(data); batch = rb.sample()``) that owns the state and a PRNG
+  key — convenience for scripts/tests.  The reference's locks/prefetch
+  threads are unnecessary: sampling is a device op issued asynchronously.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from rl_tpu.data.tdict import TDict
+from .samplers import PrioritizedSampler, RandomSampler
+from .storages import TensorStorage
+from .writers import RoundRobinWriter
+
+__all__ = ["ReplayBuffer", "TensorDictReplayBuffer", "PrioritizedReplayBuffer"]
+
+
+class ReplayBuffer:
+    """Composable replay buffer (functional core + stateful sugar)."""
+
+    def __init__(
+        self,
+        *,
+        storage: TensorStorage | None = None,
+        sampler=None,
+        writer=None,
+        capacity: int | None = None,
+        batch_size: int | None = None,
+        transform: Callable[[TDict], TDict] | None = None,
+    ):
+        if storage is None:
+            if capacity is None:
+                raise ValueError("provide storage or capacity")
+            storage = TensorStorage(capacity)
+        self.storage = storage
+        cap = storage.capacity
+        self.sampler = sampler or RandomSampler(cap)
+        self.writer = writer or RoundRobinWriter(cap)
+        self.batch_size = batch_size
+        self.transform = transform
+        self._state: TDict | None = None
+        self._key = None
+        self._jit_extend: dict[int, Callable] = {}
+        self._jit_sample: dict[int, Callable] = {}
+
+    # -- functional core ----------------------------------------------------
+    def init(self, example: TDict) -> TDict:
+        return TDict(
+            storage=self.storage.init(example),
+            sampler=self.sampler.init(),
+            writer=self.writer.init(),
+        )
+
+    def init_from_batch(self, batch: TDict) -> TDict:
+        example = jax.tree.map(lambda x: jnp.asarray(x)[0], batch)
+        return self.init(example)
+
+    def extend_fn(self, state: TDict, data: TDict) -> tuple[TDict, jax.Array]:
+        """Write a [N, ...] batch; returns (state, written indices)."""
+        leaves = jax.tree.leaves(data)
+        n = leaves[0].shape[0]
+        wstate, idx = self.writer.extend(state["writer"], n)
+        sstorage = self.storage.set(state["storage"], idx, data)
+        ssampler = self.sampler.extend(state["sampler"], idx)
+        return TDict(storage=sstorage, sampler=ssampler, writer=wstate), idx
+
+    def add_fn(self, state: TDict, item: TDict) -> tuple[TDict, jax.Array]:
+        batch = jax.tree.map(lambda x: jnp.asarray(x)[None], item)
+        state, idx = self.extend_fn(state, batch)
+        return state, idx[0]
+
+    def sample_fn(self, state: TDict, key, batch_size: int | None = None,
+                  **sampler_kwargs):
+        """Returns ``(state, batch, info)``; info carries ``index`` and
+        (for prioritized) ``_weight``."""
+        bs = batch_size or self.batch_size
+        if bs is None:
+            raise ValueError("no batch_size configured")
+        size = self.storage.size(state["storage"])
+        if hasattr(self.sampler, "done_key"):
+            # SliceSampler: pass stored done flags for boundary masking
+            dones = self._stored_dones(state)
+            sstate, idx, info = self.sampler.sample(
+                state["sampler"], size, bs, key, dones=dones, **sampler_kwargs
+            )
+        else:
+            sstate, idx, info = self.sampler.sample(
+                state["sampler"], size, bs, key, **sampler_kwargs
+            )
+        batch = self.storage.get(state["storage"], idx)
+        if self.transform is not None:
+            batch = self.transform(batch)
+        info = info.set("index", idx) if "index" not in info else info
+        return state.set("sampler", sstate), batch, info
+
+    def _stored_dones(self, state: TDict):
+        sampler = self.sampler
+        data = state["storage", "data"]
+        key = getattr(sampler, "done_key", ("next", "done"))
+        if key in data:
+            return jnp.asarray(data[key]).reshape(len(self.storage), -1)[:, 0]
+        return jnp.zeros((len(self.storage),), bool)
+
+    def update_priority_fn(self, state: TDict, idx, priority) -> TDict:
+        sstate = self.sampler.update_priority(state["sampler"], idx, priority)
+        return state.set("sampler", sstate)
+
+    # -- stateful sugar (reference-style imperative API) --------------------
+    def seed(self, seed: int = 0):
+        self._key = jax.random.PRNGKey(seed)
+
+    def extend(self, data: TDict):
+        if self._state is None:
+            self._state = self.init_from_batch(data)
+        self._state, idx = jax.jit(self.extend_fn)(self._state, data)
+        return idx
+
+    def add(self, item: TDict):
+        if self._state is None:
+            self._state = self.init(item)
+        self._state, idx = jax.jit(self.add_fn)(self._state, item)
+        return idx
+
+    def sample(self, batch_size: int | None = None, return_info: bool = False):
+        if self._state is None:
+            raise RuntimeError("buffer is empty")
+        if self._key is None:
+            self.seed()
+        self._key, k = jax.random.split(self._key)
+        self._state, batch, info = jax.jit(
+            self.sample_fn, static_argnames=("batch_size",)
+        )(self._state, k, batch_size=batch_size or self.batch_size)
+        return (batch, info) if return_info else batch
+
+    def update_priority(self, idx, priority):
+        self._state = jax.jit(self.update_priority_fn)(self._state, idx, priority)
+
+    def __len__(self):
+        if self._state is None:
+            return 0
+        return int(self.storage.size(self._state["storage"]))
+
+
+# The TDict layout IS the TensorDict layout — same class covers both.
+TensorDictReplayBuffer = ReplayBuffer
+
+
+class PrioritizedReplayBuffer(ReplayBuffer):
+    """Reference replay_buffers.py:1902."""
+
+    def __init__(self, *, capacity: int, alpha: float = 0.6, beta: float = 0.4,
+                 batch_size: int | None = None, transform=None):
+        super().__init__(
+            storage=TensorStorage(capacity),
+            sampler=PrioritizedSampler(capacity, alpha, beta),
+            batch_size=batch_size,
+            transform=transform,
+        )

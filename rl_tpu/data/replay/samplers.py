@@ -1,0 +1,202 @@
+"""Replay samplers.
+
+Counterparts of the reference samplers
+(``/root/reference/torchrl/data/replay_buffers/samplers.py``:
+``RandomSampler`` :181, ``SamplerWithoutReplacement`` :580,
+``PrioritizedSampler`` :942 (C++/CUDA segment trees, csrc/segment_tree.h),
+``SliceSampler`` :1696).
+
+TPU design: a C++ sum-tree is pointless in HBM — prioritized sampling is
+``cumsum`` + ``searchsorted`` (log-depth, MXU-free, bandwidth-bound over a
+few MB) with scatter updates, fully inside jit.  The inverse-CDF semantics
+match the reference's ``ScanLowerBound`` bit-for-bit in expectation.  A
+host-side C++ segment tree remains available for host-RAM replay
+(rl_tpu/csrc, later milestone).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from rl_tpu.data.tdict import TDict
+
+__all__ = [
+    "RandomSampler",
+    "SamplerWithoutReplacement",
+    "PrioritizedSampler",
+    "SliceSampler",
+]
+
+
+class RandomSampler:
+    """Uniform with replacement (reference samplers.py:181)."""
+
+    def __init__(self, capacity: int):
+        self.capacity = int(capacity)
+
+    def init(self) -> TDict:
+        return TDict()
+
+    def extend(self, sstate: TDict, idx) -> TDict:
+        return sstate
+
+    def sample(self, sstate: TDict, size, batch_size: int, key):
+        idx = jax.random.randint(key, (batch_size,), 0, jnp.maximum(size, 1))
+        return sstate, idx, TDict()
+
+    def update_priority(self, sstate, idx, priority) -> TDict:
+        return sstate
+
+
+class SamplerWithoutReplacement:
+    """Epoch-style sampling without replacement (reference samplers.py:580).
+
+    Requires a FULL storage (on-policy minibatching: buffer refilled each
+    iteration) so shapes stay static.  State: a permutation and a position;
+    reshuffles when exhausted.
+    """
+
+    def __init__(self, capacity: int, shuffle: bool = True):
+        self.capacity = int(capacity)
+        self.shuffle = shuffle
+
+    def init(self) -> TDict:
+        return TDict(
+            perm=jnp.arange(self.capacity, dtype=jnp.int32),
+            pos=jnp.zeros((), jnp.int32),
+            seeded=jnp.zeros((), jnp.bool_),
+        )
+
+    def extend(self, sstate: TDict, idx) -> TDict:
+        # new data invalidates the current epoch
+        return sstate.set("pos", jnp.zeros((), jnp.int32)).set(
+            "seeded", jnp.zeros((), jnp.bool_)
+        )
+
+    def sample(self, sstate: TDict, size, batch_size: int, key):
+        def reshuffle(s):
+            perm = (
+                jax.random.permutation(key, self.capacity).astype(jnp.int32)
+                if self.shuffle
+                else jnp.arange(self.capacity, dtype=jnp.int32)
+            )
+            return TDict(perm=perm, pos=jnp.zeros((), jnp.int32),
+                         seeded=jnp.ones((), jnp.bool_))
+
+        needs = (~sstate["seeded"]) | (sstate["pos"] + batch_size > self.capacity)
+        sstate = jax.lax.cond(needs, reshuffle, lambda s: s, sstate)
+        pos = sstate["pos"]
+        idx = jax.lax.dynamic_slice(sstate["perm"], (pos,), (batch_size,))
+        return sstate.set("pos", pos + batch_size), idx, TDict()
+
+    def update_priority(self, sstate, idx, priority) -> TDict:
+        return sstate
+
+
+class PrioritizedSampler:
+    """Proportional prioritized replay (Schaul et al. 2016; reference
+    samplers.py:942).
+
+    State: raw priorities ``[capacity]`` (+ running max).  Sampling computes
+    ``cdf = cumsum(p^α · valid)`` and inverse-CDF samples via
+    ``searchsorted`` — the XLA-native equivalent of the reference's segment
+    -tree ``ScanLowerBound`` (csrc/segment_tree.h:289).  IS weights follow
+    the reference: ``w = (p/total)^{-β}`` normalized by the batch max.
+    """
+
+    def __init__(self, capacity: int, alpha: float = 0.6, beta: float = 0.4,
+                 eps: float = 1e-8):
+        self.capacity = int(capacity)
+        self.alpha = float(alpha)
+        self.beta = float(beta)
+        self.eps = float(eps)
+
+    def init(self) -> TDict:
+        return TDict(
+            priorities=jnp.zeros((self.capacity,), jnp.float32),
+            max_priority=jnp.ones((), jnp.float32),
+        )
+
+    def extend(self, sstate: TDict, idx) -> TDict:
+        """New items get the running max priority (reference default)."""
+        p = sstate["priorities"].at[idx].set(sstate["max_priority"])
+        return sstate.set("priorities", p)
+
+    def sample(self, sstate: TDict, size, batch_size: int, key, beta=None):
+        beta = self.beta if beta is None else beta
+        p = sstate["priorities"]
+        valid = jnp.arange(self.capacity) < size
+        pa = jnp.where(valid, (p + self.eps) ** self.alpha, 0.0)
+        cdf = jnp.cumsum(pa)
+        total = cdf[-1]
+        u = jax.random.uniform(key, (batch_size,), minval=0.0, maxval=total)
+        idx = jnp.clip(
+            jnp.searchsorted(cdf, u, side="right"), 0, self.capacity - 1
+        ).astype(jnp.int32)
+        probs = pa[idx] / jnp.maximum(total, 1e-12)
+        weights = (jnp.maximum(probs, 1e-12) * jnp.maximum(size, 1)) ** (-beta)
+        weights = weights / jnp.maximum(jnp.max(weights), 1e-12)
+        return sstate, idx, TDict(_weight=weights, index=idx)
+
+    def update_priority(self, sstate: TDict, idx, priority) -> TDict:
+        priority = jnp.abs(jnp.asarray(priority, jnp.float32).reshape(-1))
+        p = sstate["priorities"].at[jnp.asarray(idx).reshape(-1)].set(priority)
+        mx = jnp.maximum(sstate["max_priority"], jnp.max(priority))
+        return TDict(priorities=p, max_priority=mx)
+
+
+class SliceSampler:
+    """Sample fixed-length sub-trajectory windows from flat storage
+    (reference samplers.py:1696).
+
+    Static-shape design: samples ``num_slices`` random window *ends*, gathers
+    ``slice_len`` contiguous entries each, and returns a validity mask that
+    cuts at episode boundaries discovered from the stored ``("next","done")``
+    flags (the reference's ``strict_length=False`` behaviour).  The ring
+    discontinuity (cursor wrap) is masked the same way via the ``index``
+    validity.  Returns flattened indices ``[num_slices*slice_len]`` plus
+    ``("mask")`` info.
+    """
+
+    def __init__(self, capacity: int, num_slices: int | None = None,
+                 slice_len: int | None = None, done_key=("next", "done"),
+                 strict_length: bool = False):
+        self.capacity = int(capacity)
+        self.num_slices = num_slices
+        self.slice_len = slice_len
+        self.done_key = done_key
+        self.strict_length = strict_length
+
+    def init(self) -> TDict:
+        return TDict()
+
+    def extend(self, sstate: TDict, idx) -> TDict:
+        return sstate
+
+    def sample(self, sstate: TDict, size, batch_size: int, key, dones=None):
+        """``dones``: [capacity] bool — episode-end flags of stored steps
+        (the buffer passes them in).  batch_size must equal
+        num_slices*slice_len."""
+        L = self.slice_len or (batch_size // (self.num_slices or 1))
+        n = self.num_slices or (batch_size // L)
+        # sample window end positions in [L-1, size)
+        ends = jax.random.randint(key, (n,), L - 1, jnp.maximum(size, L))
+        offsets = jnp.arange(L, dtype=jnp.int32) - (L - 1)
+        idx = ends[:, None] + offsets[None, :]  # [n, L]
+        valid = idx >= 0
+        idx = jnp.clip(idx, 0, self.capacity - 1)
+        if dones is not None:
+            d = jnp.asarray(dones).reshape(-1)[idx]  # [n, L]
+            # a done at in-window position t is the last step of its episode:
+            # the boundary sits between t and t+1, so position s belongs to
+            # the window-final chunk iff no done occurs in [s, L-2] (a done on
+            # the last element just ends the window cleanly).
+            d2 = d.astype(jnp.int32).at[:, -1].set(0)
+            suffix_dones = jnp.flip(jnp.cumsum(jnp.flip(d2, axis=1), axis=1), axis=1)
+            valid = valid & (suffix_dones == 0)
+        return sstate, idx.reshape(-1), TDict(
+            mask=valid.reshape(-1), slice_shape=jnp.asarray([n, L])
+        )
+
+    def update_priority(self, sstate, idx, priority) -> TDict:
+        return sstate

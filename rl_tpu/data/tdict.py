@@ -75,7 +75,7 @@ class TDict:
 
     __slots__ = ("_data",)
 
-    def __init__(self, data: Mapping[str, Any] | None = None, **kwargs: Any):
+    def __init__(self, data: Mapping[str, Any] | None = None, /, **kwargs: Any):
         merged: dict[str, Any] = {}
         if data is not None:
             for k, v in data.items():

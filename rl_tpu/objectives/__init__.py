@@ -8,6 +8,10 @@ from .common import (
     distance_loss,
 )
 from .ppo import PPOLoss, ClipPPOLoss, KLPENPPOLoss
+from .dqn import DQNLoss, DistributionalDQNLoss
+from .sac import SACLoss, DiscreteSACLoss
+from .ddpg import DDPGLoss
+from .td3 import TD3Loss
 from .value.advantages import (
     ValueEstimatorBase,
     TD0Estimator,
@@ -29,6 +33,12 @@ __all__ = [
     "PPOLoss",
     "ClipPPOLoss",
     "KLPENPPOLoss",
+    "DQNLoss",
+    "DistributionalDQNLoss",
+    "SACLoss",
+    "DiscreteSACLoss",
+    "DDPGLoss",
+    "TD3Loss",
     "ValueEstimatorBase",
     "TD0Estimator",
     "TD1Estimator",

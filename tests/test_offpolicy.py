@@ -1,0 +1,177 @@
+"""Off-policy algorithms end-to-end: DQN on CartPole, SAC on Pendulum.
+
+The whole iteration (collect → extend replay → K sampled updates → polyak)
+is one jitted function — the TPU-native shape of the reference's
+collector+ReplayBufferTrainer loop.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from rl_tpu.collectors import Collector
+from rl_tpu.data import TDict
+from rl_tpu.data.replay import PrioritizedSampler, RandomSampler, ReplayBuffer, TensorStorage
+from rl_tpu.envs import BatchedEnv, CartPoleEnv, PendulumEnv, TransformedEnv
+from rl_tpu.envs.transforms import RewardScaling
+from rl_tpu.modules import (
+    MLP,
+    EGreedyModule,
+    NormalParamExtractor,
+    ProbabilisticActor,
+    QValueActor,
+    Seq,
+    TanhNormal,
+    TDModule,
+    ValueOperator,
+)
+from rl_tpu.objectives import DQNLoss, SACLoss, SoftUpdate
+from rl_tpu.data import Categorical as CategoricalSpec
+
+
+def flatten_batch(batch: TDict) -> TDict:
+    return batch.apply(lambda x: x.reshape((-1,) + x.shape[2:]))
+
+
+@pytest.mark.slow
+class TestDQNLearning:
+    def test_cartpole_improves(self, key):
+        n_envs = 16
+        env = BatchedEnv(CartPoleEnv(), n_envs)
+        qactor = QValueActor(MLP(out_features=2, num_cells=(128, 128), activation="relu"),
+                             in_keys=["observation"])
+        td0 = TDict(observation=jnp.zeros((1, 4)))
+        loss_mod = DQNLoss(qactor, gamma=0.99, double_dqn=True)
+        params = loss_mod.init(key, td0)
+        eg = EGreedyModule(CategoricalSpec(2), eps_init=1.0, eps_end=0.05,
+                           annealing_num_steps=80)
+        updater = SoftUpdate(tau=0.05)
+
+        def policy(p, td, k):
+            td = qactor(p["params"]["value"], td, key=k)
+            return eg(p["eg"], td, k)
+
+        collector = Collector(env, policy, frames_per_batch=n_envs * 8)
+        rb = ReplayBuffer(capacity=20000, batch_size=128)
+        tx = optax.adam(1e-3)
+
+        cstate = collector.init(key)
+        # seed the buffer structure with one collected batch
+        pol_state = TDict(params=params, eg=eg.init_state())
+        cstate, batch0 = collector.collect(pol_state, cstate)
+        rb_state = rb.init_from_batch(flatten_batch(batch0))
+
+        opt_state = tx.init(params["value"])
+
+        @jax.jit
+        def train_iter(params, opt_state, rb_state, cstate, eg_state, key):
+            pol_state = TDict(params=params, eg=eg_state)
+            cstate, batch = collector._collect(pol_state, cstate)
+            rb_state, _ = rb.extend_fn(rb_state, flatten_batch(batch))
+
+            def upd(carry, k):
+                params, opt_state, rb_state = carry
+                rb_state, mb, info = rb.sample_fn(rb_state, k, batch_size=128)
+                g = jax.grad(lambda pv: loss_mod(params.set("value", pv), mb)[0])(
+                    params["value"]
+                )
+                updates, opt_state = tx.update(g, opt_state, params["value"])
+                params = params.set("value", optax.apply_updates(params["value"], updates))
+                params = params.set(
+                    "target_value", updater(params["target_value"], params["value"])
+                )
+                return (params, opt_state, rb_state), None
+
+            (params, opt_state, rb_state), _ = jax.lax.scan(
+                upd, (params, opt_state, rb_state), jax.random.split(key, 4)
+            )
+            eg_state = eg.step(eg_state)
+            reward_done = batch["next", "done"]
+            return params, opt_state, rb_state, cstate, eg_state, reward_done.mean()
+
+        eg_state = eg.init_state()
+        done_rates = []
+        for i in range(120):
+            key, k = jax.random.split(key)
+            params, opt_state, rb_state, cstate, eg_state, dr = train_iter(
+                params, opt_state, rb_state, cstate, eg_state, k
+            )
+            done_rates.append(float(dr))
+        # evaluate greedy policy
+        _, ys, _ = env.rollout(
+            300,
+            lambda td, k: qactor(params["value"], td, key=k),
+            key=jax.random.PRNGKey(7),
+        )
+        done_rate = float(jnp.asarray(ys["next", "done"]).mean())
+        avg_len = 1.0 / max(done_rate, 1e-3)
+        assert avg_len > 50, f"DQN cartpole avg episode length {avg_len:.1f} <= 50"
+
+
+@pytest.mark.slow
+class TestSACLearning:
+    def test_pendulum_improves(self, key):
+        n_envs = 16
+        env = TransformedEnv(BatchedEnv(PendulumEnv(), n_envs), RewardScaling(scale=0.1))
+        net = Seq(
+            TDModule(MLP(out_features=2, num_cells=(128, 128), activation="relu"),
+                     ["observation"], ["pre"]),
+            TDModule(NormalParamExtractor(), ["pre"], ["loc", "scale"]),
+        )
+        actor = ProbabilisticActor(net, TanhNormal,
+                                   dist_kwargs={"low": -2.0, "high": 2.0})
+        qvalue = TDModule(
+            MLP(out_features=1, num_cells=(128, 128), activation="relu"),
+            ["observation", "action"],
+            ["state_action_value"],
+        )
+        loss_mod = SACLoss(actor, qvalue, gamma=0.99, action_dim=1, alpha_init=0.1)
+        td0 = TDict(observation=jnp.zeros((1, 3)))
+        params = loss_mod.init(key, td0)
+        updater = SoftUpdate(tau=0.005)
+
+        collector = Collector(
+            env, lambda p, td, k: actor(p["actor"], td, key=k),
+            frames_per_batch=n_envs * 8, init_random_frames=2000,
+        )
+        rb = ReplayBuffer(capacity=100000, batch_size=256)
+        tx = optax.adam(3e-4)
+
+        cstate = collector.init(key)
+        cstate, batch0 = collector.collect(params, cstate)
+        rb_state = rb.init_from_batch(flatten_batch(batch0))
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def train_iter(params, opt_state, rb_state, cstate, key):
+            cstate, batch = collector._collect(params, cstate)
+            rb_state, _ = rb.extend_fn(rb_state, flatten_batch(batch))
+
+            def upd(carry, k):
+                params, opt_state, rb_state = carry
+                k_s, k_l = jax.random.split(k)
+                rb_state, mb, info = rb.sample_fn(rb_state, k_s, batch_size=256)
+                grads = jax.grad(lambda p: loss_mod(p, mb, k_l)[0])(params)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                params = params.set(
+                    "target_qvalue", updater(params["target_qvalue"], params["qvalue"])
+                )
+                return (params, opt_state, rb_state), None
+
+            (params, opt_state, rb_state), _ = jax.lax.scan(
+                upd, (params, opt_state, rb_state), jax.random.split(key, 16)
+            )
+            return params, opt_state, rb_state, cstate, batch["next", "reward"].mean()
+
+        rewards = []
+        for i in range(150):
+            key, k = jax.random.split(key)
+            params, opt_state, rb_state, cstate, r = train_iter(
+                params, opt_state, rb_state, cstate, k
+            )
+            rewards.append(float(r))
+        early = np.mean(rewards[:10])
+        late = np.mean(rewards[-10:])
+        assert late > early + 0.15, f"SAC no learning: early={early:.3f} late={late:.3f}"
