@@ -9,6 +9,8 @@ from .classic import (
 from .wrappers import FrameSkipEnv, NoopResetEnv
 from . import transforms
 from .transforms import Transform, Compose, TransformedEnv
+from .minatar import BreakoutEnv
+from . import libs
 
 __all__ = [
     "Env",
@@ -28,4 +30,6 @@ __all__ = [
     "Transform",
     "Compose",
     "TransformedEnv",
+    "BreakoutEnv",
+    "libs",
 ]
