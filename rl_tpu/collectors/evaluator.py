@@ -1,0 +1,89 @@
+"""Evaluator — periodic greedy policy evaluation.
+
+Counterpart of ``/root/reference/torchrl/collectors/_evaluator.py:99``:
+rollouts under a deterministic exploration mode, aggregate return/length
+stats, optional pixel capture to a logger.  On TPU the eval rollout is just
+another jitted scan; "spare device slice" scheduling comes with multi-chip.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rl_tpu.data import TDict
+from rl_tpu.modules.td_module import ExplorationType, set_exploration_type
+
+__all__ = ["Evaluator"]
+
+
+class Evaluator:
+    def __init__(
+        self,
+        env,
+        policy: Callable,
+        *,
+        max_steps: int = 1000,
+        num_episodes_hint: int = 1,
+        exploration_type: str = ExplorationType.MODE,
+        logger=None,
+        log_prefix: str = "eval",
+        video_key: str | None = None,
+    ):
+        self.env = env
+        self.policy = policy
+        self.max_steps = int(max_steps)
+        self.exploration_type = exploration_type
+        self.logger = logger
+        self.log_prefix = log_prefix
+        self.video_key = video_key
+        self._jit_rollout = None
+
+    def _rollout(self, params, key):
+        with set_exploration_type(self.exploration_type):
+            def pol(td, k):
+                return self.policy(params, td, k)
+
+            return self.env.rollout(self.max_steps, pol, key=key)
+
+    def evaluate(self, params, key, step: int | None = None) -> dict:
+        if self._jit_rollout is None:
+            self._jit_rollout = jax.jit(lambda p, k: self._rollout(p, k)[1])
+        ys = self._jit_rollout(params, key)
+        reward = np.asarray(ys["next", "reward"])
+        done = np.asarray(ys["next", "done"])
+        # per-episode returns from done-segmented cumulative sums
+        r = reward.squeeze(-1)
+        d = done.squeeze(-1)
+        flat_r = r.reshape(r.shape[0], -1)
+        flat_d = d.reshape(d.shape[0], -1)
+        ep_returns = []
+        ep_lengths = []
+        for b in range(flat_r.shape[1]):
+            acc, length = 0.0, 0
+            for t in range(flat_r.shape[0]):
+                acc += float(flat_r[t, b])
+                length += 1
+                if flat_d[t, b]:
+                    ep_returns.append(acc)
+                    ep_lengths.append(length)
+                    acc, length = 0.0, 0
+        stats = {
+            "reward_mean": float(r.mean()),
+            "episode_return_mean": float(np.mean(ep_returns)) if ep_returns else float(r.sum(0).mean()),
+            "episode_length_mean": float(np.mean(ep_lengths)) if ep_lengths else float(r.shape[0]),
+            "episodes": len(ep_returns),
+        }
+        if self.logger is not None:
+            for k, v in stats.items():
+                self.logger.log_scalar(f"{self.log_prefix}/{k}", v, step=step)
+            if self.video_key is not None and self.video_key in ys["next"]:
+                vid = np.asarray(ys["next", self.video_key])
+                if vid.ndim >= 4:
+                    self.logger.log_video(
+                        f"{self.log_prefix}/video", vid.reshape((-1,) + vid.shape[-3:])[:200],
+                        step=step,
+                    )
+        return stats

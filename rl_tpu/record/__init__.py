@@ -1,0 +1,19 @@
+from .loggers import (
+    Logger,
+    CSVLogger,
+    TensorboardLogger,
+    WandbLogger,
+    MLFlowLogger,
+    generate_exp_name,
+    get_logger,
+)
+
+__all__ = [
+    "Logger",
+    "CSVLogger",
+    "TensorboardLogger",
+    "WandbLogger",
+    "MLFlowLogger",
+    "generate_exp_name",
+    "get_logger",
+]

@@ -1,0 +1,339 @@
+"""Algorithm trainers — fused-jit training loops with batteries included.
+
+Counterparts of the reference algorithm trainers
+(``/root/reference/torchrl/trainers/algorithms/``: ``PPOTrainer`` ppo.py:11,
+``SACTrainer`` sac.py:37, ``DQNTrainer`` dqn.py:39) — but where the
+reference composes hooks around a python loop, these compile the entire
+iteration (collect → [estimate] → update steps → target update) into ONE
+jitted function; python only orchestrates logging/eval/checkpoint cadence.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from rl_tpu.collectors import Collector
+from rl_tpu.collectors.evaluator import Evaluator
+from rl_tpu.data import TDict
+from rl_tpu.data.replay import ReplayBuffer
+from rl_tpu.objectives import GAE, ClipPPOLoss, DQNLoss, SACLoss, SoftUpdate
+from rl_tpu.utils import timeit
+
+__all__ = ["PPOTrainer", "SACTrainer", "DQNTrainer"]
+
+
+def _flatten_time(batch: TDict) -> TDict:
+    return batch.apply(lambda x: x.reshape((-1,) + x.shape[2:]))
+
+
+def _split_optimizer(params: TDict, lr_map: dict[str, float], clip: float = 0.5):
+    """Per-subtree adam with per-subtree grad clipping (a shared global clip
+    lets large-scale critic grads starve the actor)."""
+    labels = TDict({k: jax.tree.map(lambda _: k, params[k]) for k in params})
+    txs = {
+        k: optax.chain(optax.clip_by_global_norm(clip), optax.adam(lr))
+        for k, lr in lr_map.items()
+    }
+    return optax.multi_transform(txs, labels)
+
+
+class _TrainerBase:
+    def __init__(self, logger=None, evaluator: Evaluator | None = None,
+                 eval_interval: int = 10, save_path: str | None = None,
+                 save_interval: int = 0):
+        self.logger = logger
+        self.evaluator = evaluator
+        self.eval_interval = eval_interval
+        self.save_path = save_path
+        self.save_interval = save_interval
+
+    def _log(self, metrics: dict, step: int):
+        if self.logger is not None:
+            for k, v in metrics.items():
+                self.logger.log_scalar(k, float(v), step=step)
+
+    def _maybe_eval_and_save(self, it: int, params, key, frames: int):
+        if self.evaluator is not None and it % self.eval_interval == 0:
+            self.evaluator.evaluate(params, key, step=frames)
+        if self.save_path and self.save_interval and it % self.save_interval == 0:
+            from rl_tpu.checkpoint import save_pytree
+
+            save_pytree(self.save_path, {"params": params})
+
+
+class PPOTrainer(_TrainerBase):
+    """On-policy PPO: collect → GAE → epochs × minibatch clipped updates,
+    all one jit (the reference sota PPO script shape, ppo_mujoco.py:110)."""
+
+    def __init__(
+        self,
+        env,
+        actor,
+        critic,
+        *,
+        frames_per_batch: int,
+        total_frames: int,
+        num_epochs: int = 4,
+        minibatches: int = 4,
+        lr_actor: float = 3e-4,
+        lr_critic: float = 1e-3,
+        gamma: float = 0.99,
+        lmbda: float = 0.95,
+        clip_epsilon: float = 0.2,
+        entropy_coeff: float = 0.01,
+        seed: int = 0,
+        **base_kwargs,
+    ):
+        super().__init__(**base_kwargs)
+        self.env = env
+        self.actor = actor
+        self.critic = critic
+        self.total_frames = int(total_frames)
+        self.num_epochs = num_epochs
+        self.minibatches = minibatches
+        self.seed = seed
+        self.collector = Collector(
+            env, lambda p, td, k: actor(p["actor"], td, key=k),
+            frames_per_batch=frames_per_batch,
+        )
+        self.gae = GAE(gamma, lmbda, critic, average_gae=True)
+        self.loss_module = ClipPPOLoss(
+            actor, critic, clip_epsilon=clip_epsilon, entropy_coeff=entropy_coeff
+        )
+        key = jax.random.PRNGKey(seed)
+        k1, k2 = jax.random.split(key)
+        _, td0 = env.reset(k1)
+        example = jax.tree.map(lambda x: jnp.asarray(x)[:1] if env.batch_size else jnp.asarray(x)[None], td0)
+        self.params = self.loss_module.init(k2, example)
+        self.tx = _split_optimizer(self.params, {"actor": lr_actor, "critic": lr_critic})
+        self.opt_state = self.tx.init(self.params)
+        self._key = key
+        self._update = jax.jit(self._update_impl)
+
+    def _update_impl(self, params, opt_state, cstate, key):
+        cstate, batch = self.collector._collect(params, cstate)
+        batch = self.gae(params["critic"], batch)
+        flat = _flatten_time(batch)
+        n = flat["advantage"].shape[0]
+        mb = n // self.minibatches
+
+        def epoch(carry, ke):
+            params, opt_state = carry
+            idxs = jax.random.permutation(ke, n)[: mb * self.minibatches].reshape(
+                self.minibatches, mb
+            )
+
+            def step(carry, idx):
+                params, opt_state = carry
+                (total, metrics), grads = jax.value_and_grad(
+                    lambda p: self.loss_module(p, flat[idx]), has_aux=True
+                )(params)
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                return (optax.apply_updates(params, updates), opt_state), total
+
+            return jax.lax.scan(step, (params, opt_state), idxs)
+
+        (params, opt_state), losses = jax.lax.scan(
+            epoch, (params, opt_state), jax.random.split(key, self.num_epochs)
+        )
+        return params, opt_state, cstate, losses.mean(), batch["next", "reward"].mean()
+
+    def train(self):
+        self._key, k = jax.random.split(self._key)
+        cstate = self.collector.init(k)
+        frames = 0
+        it = 0
+        while frames < self.total_frames:
+            self._key, k = jax.random.split(self._key)
+            with timeit("ppo/iter"):
+                self.params, self.opt_state, cstate, loss, reward = self._update(
+                    self.params, self.opt_state, cstate, k
+                )
+            frames += self.collector.frames_per_batch
+            self._log(
+                {"train/loss": loss, "train/reward": reward}, step=frames
+            )
+            self._key, k = jax.random.split(self._key)
+            self._maybe_eval_and_save(it, self.params, k, frames)
+            it += 1
+        return self.params
+
+
+class _OffPolicyTrainer(_TrainerBase):
+    """Shared machinery: collect → extend replay → K sampled grad steps →
+    polyak, one jit."""
+
+    def __init__(self, *, frames_per_batch, total_frames, buffer_capacity,
+                 batch_size, utd: int, init_random_frames: int = 0,
+                 seed: int = 0, **base_kwargs):
+        super().__init__(**base_kwargs)
+        self.total_frames = int(total_frames)
+        self.batch_size = batch_size
+        self.utd = utd
+        self.seed = seed
+        self.rb = ReplayBuffer(capacity=buffer_capacity, batch_size=batch_size)
+        self._key = jax.random.PRNGKey(seed)
+
+    def _grad_and_update(self, params, opt_state, mb, k):
+        raise NotImplementedError
+
+    def _policy_state(self, params):
+        return params
+
+    def _post_update(self, params):
+        return params
+
+    def _make_update(self):
+        def update(params, opt_state, rb_state, cstate, key):
+            cstate, batch = self.collector._collect(self._policy_state(params), cstate)
+            rb_state, _ = self.rb.extend_fn(rb_state, _flatten_time(batch))
+
+            def upd(carry, k):
+                params, opt_state, rb_state = carry
+                k_s, k_l = jax.random.split(k)
+                rb_state, mb, info = self.rb.sample_fn(
+                    rb_state, k_s, batch_size=self.batch_size
+                )
+                params, opt_state = self._grad_and_update(params, opt_state, mb, k_l)
+                params = self._post_update(params)
+                return (params, opt_state, rb_state), None
+
+            (params, opt_state, rb_state), _ = jax.lax.scan(
+                upd, (params, opt_state, rb_state), jax.random.split(key, self.utd)
+            )
+            return params, opt_state, rb_state, cstate, batch["next", "reward"].mean()
+
+        return jax.jit(update)
+
+    def train(self):
+        self._key, k = jax.random.split(self._key)
+        cstate = self.collector.init(k)
+        cstate, batch0 = self.collector.collect(self._policy_state(self.params), cstate)
+        rb_state = self.rb.init_from_batch(_flatten_time(batch0))
+        update = self._make_update()
+        frames = self.collector.frames_per_batch
+        it = 0
+        while frames < self.total_frames:
+            self._key, k = jax.random.split(self._key)
+            self.params, self.opt_state, rb_state, cstate, reward = update(
+                self.params, self.opt_state, rb_state, cstate, k
+            )
+            frames += self.collector.frames_per_batch
+            self._log({"train/reward": float(reward)}, step=frames)
+            self._key, k = jax.random.split(self._key)
+            self._maybe_eval_and_save(it, self.params, k, frames)
+            it += 1
+        return self.params
+
+
+class SACTrainer(_OffPolicyTrainer):
+    """Reference trainers/algorithms/sac.py:37."""
+
+    def __init__(self, env, actor, qvalue, *, action_dim, frames_per_batch=128,
+                 total_frames=100000, buffer_capacity=1_000_000, batch_size=256,
+                 utd=8, lr=3e-4, gamma=0.99, tau=0.005, alpha_init=0.1,
+                 init_random_frames=2000, seed=0, **base_kwargs):
+        super().__init__(
+            frames_per_batch=frames_per_batch, total_frames=total_frames,
+            buffer_capacity=buffer_capacity, batch_size=batch_size, utd=utd,
+            seed=seed, **base_kwargs,
+        )
+        self.env = env
+        self.actor = actor
+        self.loss_module = SACLoss(
+            actor, qvalue, gamma=gamma, action_dim=action_dim, alpha_init=alpha_init
+        )
+        self.updater = SoftUpdate(tau=tau)
+        self.collector = Collector(
+            env, lambda p, td, k: actor(p["actor"], td, key=k),
+            frames_per_batch=frames_per_batch, init_random_frames=init_random_frames,
+        )
+        key = jax.random.PRNGKey(seed)
+        _, td0 = env.reset(key)
+        example = jax.tree.map(
+            lambda x: jnp.asarray(x)[:1] if env.batch_size else jnp.asarray(x)[None], td0
+        )
+        self.params = self.loss_module.init(key, example)
+        self.tx = optax.adam(lr)
+        self.opt_state = self.tx.init(self.params)
+
+    def _grad_and_update(self, params, opt_state, mb, k):
+        grads = jax.grad(lambda p: self.loss_module(p, mb, k)[0])(params)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    def _post_update(self, params):
+        return params.set(
+            "target_qvalue", self.updater(params["target_qvalue"], params["qvalue"])
+        )
+
+
+class DQNTrainer(_OffPolicyTrainer):
+    """Reference trainers/algorithms/dqn.py:39."""
+
+    def __init__(self, env, qvalue_actor, *, action_spec, frames_per_batch=128,
+                 total_frames=100000, buffer_capacity=100_000, batch_size=128,
+                 utd=4, lr=1e-3, gamma=0.99, tau=0.05, double_dqn=True,
+                 eps_init=1.0, eps_end=0.05, eps_anneal_iters=200,
+                 seed=0, **base_kwargs):
+        super().__init__(
+            frames_per_batch=frames_per_batch, total_frames=total_frames,
+            buffer_capacity=buffer_capacity, batch_size=batch_size, utd=utd,
+            seed=seed, **base_kwargs,
+        )
+        from rl_tpu.modules import EGreedyModule
+
+        self.env = env
+        self.qvalue_actor = qvalue_actor
+        self.loss_module = DQNLoss(qvalue_actor, gamma=gamma, double_dqn=double_dqn)
+        self.updater = SoftUpdate(tau=tau)
+        self.eg = EGreedyModule(action_spec, eps_init=eps_init, eps_end=eps_end,
+                                annealing_num_steps=eps_anneal_iters)
+        self._eg_state = self.eg.init_state()
+
+        def policy(pstate, td, k):
+            td = qvalue_actor(pstate["params"]["value"], td, key=k)
+            return self.eg(pstate["eg"], td, k)
+
+        self.collector = Collector(env, policy, frames_per_batch=frames_per_batch)
+        key = jax.random.PRNGKey(seed)
+        _, td0 = env.reset(key)
+        example = jax.tree.map(
+            lambda x: jnp.asarray(x)[:1] if env.batch_size else jnp.asarray(x)[None], td0
+        )
+        self.params = self.loss_module.init(key, example)
+        self.tx = optax.adam(lr)
+        self.opt_state = self.tx.init(self.params["value"])
+
+    def _policy_state(self, params):
+        return TDict(params=params, eg=self._eg_state)
+
+    def _grad_and_update(self, params, opt_state, mb, k):
+        g = jax.grad(lambda pv: self.loss_module(params.set("value", pv), mb)[0])(
+            params["value"]
+        )
+        updates, opt_state = self.tx.update(g, opt_state, params["value"])
+        return params.set("value", optax.apply_updates(params["value"], updates)), opt_state
+
+    def _post_update(self, params):
+        return params.set(
+            "target_value", self.updater(params["target_value"], params["value"])
+        )
+
+    def train(self):
+        out = super().train()
+        return out
+
+    def _make_update(self):
+        base = super()._make_update()
+
+        def update(params, opt_state, rb_state, cstate, key):
+            out = base(params, opt_state, rb_state, cstate, key)
+            self._eg_state = self.eg.step(self._eg_state)
+            return out
+
+        return update

@@ -1,0 +1,239 @@
+"""Trainer orchestration, loggers, checkpoint, evaluator tests."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from rl_tpu.checkpoint import Checkpoint, save_pytree, load_pytree
+from rl_tpu.collectors import Collector
+from rl_tpu.collectors.evaluator import Evaluator
+from rl_tpu.data import TDict
+from rl_tpu.data.replay import ReplayBuffer
+from rl_tpu.envs import BatchedEnv, CartPoleEnv, PendulumEnv, TransformedEnv
+from rl_tpu.envs.transforms import RewardScaling
+from rl_tpu.modules import (
+    MLP,
+    NormalParamExtractor,
+    ProbabilisticActor,
+    QValueActor,
+    Seq,
+    TanhNormal,
+    TDModule,
+    ValueOperator,
+)
+from rl_tpu.objectives import GAE, ClipPPOLoss, DQNLoss, SoftUpdate
+from rl_tpu.record import CSVLogger, generate_exp_name, get_logger
+from rl_tpu.trainers import (
+    BatchSubSampler,
+    CountFramesLog,
+    DQNTrainer,
+    EarlyStopping,
+    LogScalar,
+    PPOTrainer,
+    ReplayBufferTrainer,
+    SACTrainer,
+    TargetNetUpdaterHook,
+    Trainer,
+    ValueEstimatorHook,
+)
+from rl_tpu.data import Categorical as CategoricalSpec
+
+
+def make_ppo_pieces(key):
+    env = BatchedEnv(PendulumEnv(), 4)
+    net = Seq(
+        TDModule(MLP(out_features=2, num_cells=(16,)), ["observation"], ["pre"]),
+        TDModule(NormalParamExtractor(), ["pre"], ["loc", "scale"]),
+    )
+    actor = ProbabilisticActor(net, TanhNormal, dist_kwargs={"low": -2.0, "high": 2.0})
+    critic = ValueOperator(MLP(out_features=1, num_cells=(16,)))
+    loss = ClipPPOLoss(actor, critic)
+    td0 = TDict(observation=jnp.zeros((1, 3)))
+    params = loss.init(key, td0)
+    return env, actor, critic, loss, params
+
+
+class TestGenericTrainer:
+    def test_hooks_fire_in_order(self, key):
+        env, actor, critic, loss, params = make_ppo_pieces(key)
+        collector = Collector(env, lambda p, td, k: actor(p["actor"], td, key=k),
+                              frames_per_batch=32)
+        trainer = Trainer(
+            collector=collector, loss_module=loss, optimizer=optax.adam(1e-3),
+            params=params, total_frames=64, optim_steps_per_batch=2,
+        )
+        calls = []
+        gae = GAE(0.99, 0.95, critic)
+        trainer.register_module(ValueEstimatorHook(gae, params_key="critic"))
+        trainer.register_op("batch_process", lambda b: calls.append("batch") or b)
+        trainer.register_op("process_optim_batch",
+                            lambda b: calls.append("optim") or b.apply(
+                                lambda x: x.reshape((-1,) + x.shape[2:])))
+        trainer.register_op("post_steps", lambda: calls.append("post"))
+        out = trainer.train()
+        assert calls.count("batch") == 2
+        assert calls.count("optim") == 4
+        assert calls.count("post") == 2
+        assert trainer.collected_frames == 64
+
+    def test_replay_buffer_hook(self, key):
+        env = BatchedEnv(CartPoleEnv(), 2)
+        qactor = QValueActor(MLP(out_features=2, num_cells=(16,)), in_keys=["observation"])
+        loss = DQNLoss(qactor)
+        td0 = TDict(observation=jnp.zeros((1, 4)))
+        params = loss.init(key, td0)
+        collector = Collector(
+            env, lambda p, td, k: qactor(p["value"], td, key=k), frames_per_batch=16
+        )
+        rb = ReplayBuffer(capacity=1000, batch_size=32)
+        trainer = Trainer(
+            collector=collector, loss_module=loss, optimizer=optax.adam(1e-3),
+            params=params, total_frames=64,
+        )
+        trainer.register_module(ReplayBufferTrainer(rb, batch_size=32))
+        trainer.register_module(
+            TargetNetUpdaterHook(SoftUpdate(0.1), "value", "target_value")
+        )
+        trainer.train()
+        assert len(rb) == 64
+
+    def test_early_stopping(self, key):
+        env, actor, critic, loss, params = make_ppo_pieces(key)
+        collector = Collector(env, lambda p, td, k: actor(p["actor"], td, key=k),
+                              frames_per_batch=32)
+        gae = GAE(0.99, 0.95, critic)
+        trainer = Trainer(
+            collector=collector, loss_module=loss, optimizer=optax.adam(1e-3),
+            params=params, total_frames=100000,
+        )
+        trainer.register_module(ValueEstimatorHook(gae, params_key="critic"))
+        trainer.register_module(EarlyStopping(target=1000.0, patience=1))
+        trainer.train()  # pendulum rewards < 0 -> plateau -> stop at patience
+        assert trainer.collected_frames < 100000
+
+
+class TestAlgoTrainers:
+    def test_ppo_trainer_runs(self, key):
+        env = TransformedEnv(BatchedEnv(PendulumEnv(), 4), RewardScaling(scale=0.1))
+        net = Seq(
+            TDModule(MLP(out_features=2, num_cells=(16,)), ["observation"], ["pre"]),
+            TDModule(NormalParamExtractor(), ["pre"], ["loc", "scale"]),
+        )
+        actor = ProbabilisticActor(net, TanhNormal, dist_kwargs={"low": -2.0, "high": 2.0})
+        critic = ValueOperator(MLP(out_features=1, num_cells=(16,)))
+        t = PPOTrainer(env, actor, critic, frames_per_batch=64, total_frames=192,
+                       minibatches=2)
+        params = t.train()
+        assert "actor" in params
+
+    def test_sac_trainer_runs(self, key):
+        env = TransformedEnv(BatchedEnv(PendulumEnv(), 4), RewardScaling(scale=0.1))
+        net = Seq(
+            TDModule(MLP(out_features=2, num_cells=(16,)), ["observation"], ["pre"]),
+            TDModule(NormalParamExtractor(), ["pre"], ["loc", "scale"]),
+        )
+        actor = ProbabilisticActor(net, TanhNormal, dist_kwargs={"low": -2.0, "high": 2.0})
+        qvalue = TDModule(MLP(out_features=1, num_cells=(16,)),
+                          ["observation", "action"], ["state_action_value"])
+        t = SACTrainer(env, actor, qvalue, action_dim=1, frames_per_batch=32,
+                       total_frames=160, batch_size=32, utd=2, buffer_capacity=1000,
+                       init_random_frames=0)
+        params = t.train()
+        assert "log_alpha" in params
+
+    def test_dqn_trainer_runs(self, key):
+        env = BatchedEnv(CartPoleEnv(), 4)
+        qactor = QValueActor(MLP(out_features=2, num_cells=(16,)), in_keys=["observation"])
+        t = DQNTrainer(env, qactor, action_spec=CategoricalSpec(2),
+                       frames_per_batch=32, total_frames=160, batch_size=32,
+                       buffer_capacity=1000, utd=2)
+        params = t.train()
+        assert "target_value" in params
+
+
+class TestLoggers:
+    def test_csv_logger_roundtrip(self, tmp_path):
+        lg = CSVLogger("exp1", str(tmp_path))
+        lg.log_scalar("train/reward", 1.5, step=10)
+        lg.log_scalar("train/reward", 2.5, step=20)
+        lg.log_hparams({"lr": 3e-4})
+        rows = lg.read_scalar("train/reward")
+        assert [v for _, v in rows] == [1.5, 2.5]
+        assert os.path.exists(tmp_path / "exp1" / "hparams.json")
+
+    def test_get_logger(self, tmp_path):
+        lg = get_logger("csv", str(tmp_path), "exp2")
+        assert isinstance(lg, CSVLogger)
+        assert get_logger("", "x", "y") is None
+
+    def test_generate_exp_name_unique(self):
+        a = generate_exp_name("ppo", "test")
+        b = generate_exp_name("ppo", "test")
+        assert a != b and a.startswith("ppo_test_")
+
+    def test_tensorboard_logger(self, tmp_path):
+        pytest.importorskip("tensorboardX")
+        from rl_tpu.record import TensorboardLogger
+
+        lg = TensorboardLogger("exp3", str(tmp_path))
+        lg.log_scalar("a/b", 1.0, step=1)
+        lg.close()
+        assert any((tmp_path / "exp3").iterdir())
+
+
+class TestCheckpoint:
+    def test_pytree_roundtrip(self, tmp_path):
+        tree = {"w": jnp.arange(4.0), "nested": {"b": jnp.ones((2, 2))}}
+        save_pytree(str(tmp_path / "ck"), tree)
+        out = load_pytree(str(tmp_path / "ck"), tree)
+        np.testing.assert_array_equal(np.asarray(out["w"]), [0, 1, 2, 3])
+
+    def test_checkpoint_registry(self, tmp_path):
+        state = {"params": TDict(w=jnp.ones(3))}
+
+        ckpt = Checkpoint()
+        ckpt.register("train", lambda: state["params"],
+                      lambda v: state.__setitem__("params", v))
+        ckpt.register_metadata("note", "hello")
+        ckpt.save(str(tmp_path / "c1"))
+
+        state["params"] = TDict(w=jnp.zeros(3))
+        ckpt.load(str(tmp_path / "c1"))
+        np.testing.assert_array_equal(np.asarray(state["params"]["w"]), [1, 1, 1])
+
+    def test_trainer_save_load(self, key, tmp_path):
+        env, actor, critic, loss, params = make_ppo_pieces(key)
+        collector = Collector(env, lambda p, td, k: actor(p["actor"], td, key=k),
+                              frames_per_batch=32)
+        gae = GAE(0.99, 0.95, critic)
+        trainer = Trainer(collector=collector, loss_module=loss,
+                          optimizer=optax.adam(1e-3), params=params,
+                          total_frames=32, save_path=str(tmp_path / "trainer"))
+        trainer.register_module(ValueEstimatorHook(gae, params_key="critic"))
+        trainer.train()
+        trainer.save_trainer()
+        old = jax.tree.leaves(trainer.params)[0].copy()
+        trainer.params = jax.tree.map(jnp.zeros_like, trainer.params)
+        trainer.load_trainer()
+        np.testing.assert_array_equal(np.asarray(jax.tree.leaves(trainer.params)[0]), np.asarray(old))
+
+
+class TestEvaluator:
+    def test_eval_stats(self, key):
+        env, actor, critic, loss, params = make_ppo_pieces(key)
+        ev = Evaluator(env, lambda p, td, k: actor(p["actor"], td, key=k),
+                       max_steps=210)
+        stats = ev.evaluate(params, key)
+        assert stats["episodes"] >= 4  # 4 envs, 200-step truncation
+        assert stats["episode_length_mean"] == pytest.approx(200, abs=1)
+
+    def test_eval_logs(self, key, tmp_path):
+        env, actor, critic, loss, params = make_ppo_pieces(key)
+        lg = CSVLogger("eval_exp", str(tmp_path))
+        ev = Evaluator(env, lambda p, td, k: actor(p["actor"], td, key=k),
+                       max_steps=50, logger=lg)
+        ev.evaluate(params, key, step=1)
+        assert lg.read_scalar("eval/reward_mean")
