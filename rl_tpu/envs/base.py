@@ -136,6 +136,12 @@ class Env:
         """
         state, step_td = self._step(state, td, key)
         step_td = self._complete_dones(step_td)
+        # merge, don't replace: policies may pre-write carried keys under
+        # ("next", ...) (e.g. recurrent states — reference rnn.py:650 writes
+        # updated state under next so step_mdp promotes it)
+        prev_next = td.get("next", None)
+        if prev_next is not None:
+            step_td = prev_next.update(step_td)
         return state, td.set("next", step_td)
 
     def step_and_maybe_reset(

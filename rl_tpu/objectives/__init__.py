@@ -12,6 +12,13 @@ from .dqn import DQNLoss, DistributionalDQNLoss
 from .sac import SACLoss, DiscreteSACLoss
 from .ddpg import DDPGLoss
 from .td3 import TD3Loss
+from .a2c import A2CLoss, ReinforceLoss
+from .iql import IQLLoss, DiscreteIQLLoss, expectile_loss
+from .cql import CQLLoss, DiscreteCQLLoss
+from .td3_bc import TD3BCLoss
+from .redq import REDQLoss
+from .crossq import CrossQLoss
+from .bc import BCLoss, GAILLoss
 from .value.advantages import (
     ValueEstimatorBase,
     TD0Estimator,
@@ -39,6 +46,18 @@ __all__ = [
     "DiscreteSACLoss",
     "DDPGLoss",
     "TD3Loss",
+    "A2CLoss",
+    "ReinforceLoss",
+    "IQLLoss",
+    "DiscreteIQLLoss",
+    "expectile_loss",
+    "CQLLoss",
+    "DiscreteCQLLoss",
+    "TD3BCLoss",
+    "REDQLoss",
+    "CrossQLoss",
+    "BCLoss",
+    "GAILLoss",
     "ValueEstimatorBase",
     "TD0Estimator",
     "TD1Estimator",

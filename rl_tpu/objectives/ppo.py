@@ -52,7 +52,8 @@ class PPOLoss(LossModule):
     # -- pieces -------------------------------------------------------------
     def _log_weight(self, params, td: TDict, key=None):
         dist, _ = self.actor.get_dist(params["actor"], td, key=key)
-        log_prob = dist.log_prob(td["action"])
+        action_key = getattr(self.actor, "out_key", "action")
+        log_prob = dist.log_prob(td[action_key])
         prev_log_prob = jax.lax.stop_gradient(jnp.asarray(td[self.log_prob_key]))
         return log_prob - prev_log_prob, dist, log_prob
 
