@@ -25,6 +25,7 @@ __all__ = [
     "SamplerWithoutReplacement",
     "PrioritizedSampler",
     "SliceSampler",
+    "HostPrioritizedSampler",
 ]
 
 
@@ -143,6 +144,73 @@ class PrioritizedSampler:
         p = sstate["priorities"].at[jnp.asarray(idx).reshape(-1)].set(priority)
         mx = jnp.maximum(sstate["max_priority"], jnp.max(priority))
         return TDict(priorities=p, max_priority=mx)
+
+
+class HostPrioritizedSampler:
+    """Prioritized sampler over host storages using the native C++ segment
+    trees (the reference's CPU path: samplers.py:942 + csrc/segment_tree.h).
+
+    Stateful host object (not jittable) — pairs with ``LazyMemmapStorage`` /
+    ``ListStorage``; the device path is :class:`PrioritizedSampler`.
+    Uses a sum tree for inverse-CDF sampling and a min tree for the max-IS
+    -weight normalization, exactly like the reference.
+    """
+
+    def __init__(self, capacity: int, alpha: float = 0.6, beta: float = 0.4,
+                 eps: float = 1e-8, dtype: str = "float64"):
+        from .host_segment_tree import (
+            MinSegmentTreeFp32,
+            MinSegmentTreeFp64,
+            SumSegmentTreeFp32,
+            SumSegmentTreeFp64,
+        )
+        import numpy as np
+
+        self.capacity = int(capacity)
+        self.alpha = float(alpha)
+        self.beta = float(beta)
+        self.eps = float(eps)
+        if dtype == "float32":
+            self._sum_tree = SumSegmentTreeFp32(self.capacity)
+            self._min_tree = MinSegmentTreeFp32(self.capacity)
+        else:
+            self._sum_tree = SumSegmentTreeFp64(self.capacity)
+            self._min_tree = MinSegmentTreeFp64(self.capacity)
+        self._max_priority = 1.0
+        self._np = np
+
+    def init(self):
+        return None
+
+    def extend(self, sstate, idx):
+        np = self._np
+        idx = np.asarray(idx).reshape(-1)
+        p = (self._max_priority + self.eps) ** self.alpha
+        self._sum_tree[idx] = np.full(len(idx), p)
+        self._min_tree[idx] = np.full(len(idx), p)
+        return sstate
+
+    def sample(self, sstate, size, batch_size: int, rng=None):
+        np = self._np
+        rng = rng or np.random
+        total = self._sum_tree.query(0, int(size))
+        u = rng.rand(batch_size) * total
+        idx = self._sum_tree.scan_lower_bound(u.astype(np.float64))
+        idx = np.clip(idx, 0, int(size) - 1)
+        probs = self._sum_tree[idx] / max(total, 1e-12)
+        min_p = self._min_tree.query(0, int(size)) / max(total, 1e-12)
+        weights = (probs / max(min_p, 1e-12)) ** (-self.beta)
+        return sstate, idx, {"_weight": weights.astype(np.float32), "index": idx}
+
+    def update_priority(self, sstate, idx, priority):
+        np = self._np
+        idx = np.asarray(idx).reshape(-1)
+        priority = np.abs(np.asarray(priority, np.float64)).reshape(-1)
+        self._max_priority = max(self._max_priority, float(priority.max()))
+        pa = (priority + self.eps) ** self.alpha
+        self._sum_tree[idx] = pa
+        self._min_tree[idx] = pa
+        return sstate
 
 
 class SliceSampler:
