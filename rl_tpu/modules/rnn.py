@@ -60,6 +60,7 @@ class _RNNModuleBase:
         out_key: str = "embed",
         recurrent_key: str = "recurrent_state",
         is_init_key: str = "is_init",
+        backend: str = "scan",
     ):
         self.input_size = int(input_size)
         self.hidden_size = int(hidden_size)
@@ -67,6 +68,7 @@ class _RNNModuleBase:
         self.out_key = out_key
         self.recurrent_key = recurrent_key
         self.is_init_key = is_init_key
+        self.backend = backend  # "scan" | "pallas" (sequence mode only)
         self.cell = self.cell_cls(features=self.hidden_size)
         self.in_keys = [in_key, is_init_key] + [
             (recurrent_key, n) for n in self.state_names
@@ -157,15 +159,23 @@ class _RNNModuleBase:
                 carry0 = self._carry_from_parts(parts)
         is_init = td.get(self.is_init_key, None)
 
-        def body(carry, xs):
-            x_t, init_t = xs
-            carry = self._mask_carry(carry, init_t)
-            carry, out = self.cell.apply({"params": params}, carry, x_t)
-            return carry, out
-
         if is_init is None:
             is_init = jnp.zeros(x.shape[:1] + batch + (1,), bool)
-        carry, outs = jax.lax.scan(body, carry0, (x, jnp.asarray(is_init)))
+
+        if self.backend == "pallas" and isinstance(self, GRUModule) and len(batch) == 1:
+            from rl_tpu.ops.rnn_pallas import flax_gru_params_to_fused, gru_sequence
+
+            fused = flax_gru_params_to_fused(params)
+            outs = gru_sequence(x, jnp.asarray(is_init), carry0, fused)
+            carry = outs[-1]
+        else:
+            def body(carry, xs):
+                x_t, init_t = xs
+                carry = self._mask_carry(carry, init_t)
+                carry, out = self.cell.apply({"params": params}, carry, x_t)
+                return carry, out
+
+            carry, outs = jax.lax.scan(body, carry0, (x, jnp.asarray(is_init)))
         td = td.set(self.out_key, outs)
         for n, v in self._carry_to_parts(carry).items():
             td = td.set(("final", self.recurrent_key, n), v)
