@@ -150,4 +150,4 @@ class DistributionalDQNLoss(LossModule):
         m = jax.lax.stop_gradient(m)
 
         loss = -jnp.sum(m * log_p_taken, axis=-1)
-        return TDict(loss=loss.mean(), td_error=jax.lax.stop_gradient(loss))
+        return TDict(loss_qvalue=loss.mean(), td_error=jax.lax.stop_gradient(loss))
