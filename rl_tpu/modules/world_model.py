@@ -1,0 +1,181 @@
+"""RSSM world-model components (Dreamer).
+
+Counterparts of the reference Dreamer model zoo
+(``/root/reference/torchrl/modules/models/model_based.py``: ``ObsEncoder``/
+``ObsDecoder`` :83+, ``RSSMPrior`` :..., ``RSSMPosterior``, ``RSSMRollout``
+:533; V3 variants model_based_v3.py:17-257).
+
+Recurrent State-Space Model (Hafner et al. 2019): deterministic path
+``h_t = GRU(h_{t-1}, [z_{t-1}, a_{t-1}])`` plus stochastic latent ``z_t``
+with a prior ``p(z_t | h_t)`` and posterior ``q(z_t | h_t, o_t)``.  The
+sequence rollout is a single ``lax.scan`` — the reference's RSSMRollout
+module loop collapses into one fused program.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from rl_tpu.data import TDict
+
+__all__ = ["ObsEncoder", "ObsDecoder", "RSSM", "rssm_observe", "rssm_imagine"]
+
+
+class ObsEncoder(nn.Module):
+    """Observation → embedding. MLP for vectors, conv for pixel inputs.
+
+    Pixels are detected as trailing [H, W, C] dims with at least one batch
+    dim (``pixels=True`` forces it; vector obs like [T, B, D] must never
+    match).
+    """
+
+    embed_dim: int = 256
+    hidden: int = 256
+    pixels: bool = False
+
+    @nn.compact
+    def __call__(self, obs):
+        obs = jnp.asarray(obs, jnp.float32)
+        if self.pixels or (
+            obs.ndim >= 4 and obs.shape[-1] in (1, 3, 4) and obs.shape[-2] >= 16
+        ):
+            lead = obs.shape[:-3]
+            x = obs.reshape((-1,) + obs.shape[-3:])
+            for ch in (32, 64, 128):
+                x = nn.Conv(ch, (4, 4), strides=(2, 2))(x)
+                x = nn.elu(x)
+            x = x.reshape(lead + (-1,))
+        else:
+            x = obs
+        x = nn.Dense(self.hidden)(x)
+        x = nn.elu(x)
+        return nn.Dense(self.embed_dim)(x)
+
+
+class ObsDecoder(nn.Module):
+    """(h, z) → observation reconstruction (vector head)."""
+
+    obs_dim: int
+    hidden: int = 256
+
+    @nn.compact
+    def __call__(self, h, z):
+        x = jnp.concatenate([h, z], -1)
+        x = nn.Dense(self.hidden)(x)
+        x = nn.elu(x)
+        x = nn.Dense(self.hidden)(x)
+        x = nn.elu(x)
+        return nn.Dense(self.obs_dim)(x)
+
+
+class RSSM(nn.Module):
+    """Prior/posterior/reward heads + the deterministic GRU core."""
+
+    action_dim: int
+    stoch_dim: int = 30
+    deter_dim: int = 200
+    hidden: int = 200
+    min_std: float = 0.1
+
+    def setup(self):
+        self.gru = nn.GRUCell(features=self.deter_dim)
+        self.pre_gru = nn.Dense(self.hidden)
+        self.prior_net = nn.Sequential([nn.Dense(self.hidden), nn.elu,
+                                        nn.Dense(2 * self.stoch_dim)])
+        self.post_net = nn.Sequential([nn.Dense(self.hidden), nn.elu,
+                                       nn.Dense(2 * self.stoch_dim)])
+        self.reward_net = nn.Sequential([nn.Dense(self.hidden), nn.elu,
+                                         nn.Dense(self.hidden), nn.elu,
+                                         nn.Dense(1)])
+
+    def _stats(self, raw):
+        mean, raw_std = jnp.split(raw, 2, -1)
+        std = jax.nn.softplus(raw_std) + self.min_std
+        return mean, std
+
+    def step_prior(self, h, z, action, key):
+        """One deterministic+prior step: returns (h', z', prior_stats)."""
+        x = nn.elu(self.pre_gru(jnp.concatenate([z, jnp.asarray(action)], -1)))
+        h, _ = self.gru(h, x)
+        mean, std = self._stats(self.prior_net(h))
+        z = mean + std * jax.random.normal(key, mean.shape)
+        return h, z, (mean, std)
+
+    def posterior(self, h, embed, key):
+        mean, std = self._stats(self.post_net(jnp.concatenate([h, embed], -1)))
+        z = mean + std * jax.random.normal(key, mean.shape)
+        return z, (mean, std)
+
+    def reward(self, h, z):
+        return self.reward_net(jnp.concatenate([h, z], -1))
+
+    def __call__(self, h, z, action, embed, key):
+        """Used for init: one observe step."""
+        k1, k2 = jax.random.split(key)
+        h, z_prior, prior_stats = self.step_prior(h, z, action, k1)
+        z_post, post_stats = self.posterior(h, embed, k2)
+        r = self.reward(h, z_post)
+        return h, z_post, prior_stats, post_stats, r
+
+
+def rssm_observe(rssm: RSSM, params, embeds, actions, is_first, key,
+                 h0=None, z0=None):
+    """Filter a [T, B] sequence of embeddings/actions through the RSSM.
+
+    Returns TDict with h, z (posterior samples), prior/posterior stats and
+    predicted rewards, all [T, B, ...].  ``is_first`` zeroes the carried
+    state (episode boundaries — the reference's is_init handling).
+    """
+    T, B = embeds.shape[0], embeds.shape[1]
+    h = h0 if h0 is not None else jnp.zeros((B, rssm.deter_dim))
+    z = z0 if z0 is not None else jnp.zeros((B, rssm.stoch_dim))
+
+    def body(carry, xs):
+        h, z = carry
+        embed_t, act_t, first_t, k = xs
+        mask = jnp.asarray(first_t, jnp.float32).reshape(B, 1)
+        h = h * (1 - mask)
+        z = z * (1 - mask)
+        act_t = jnp.asarray(act_t) * (1 - mask)
+        k1, k2 = jax.random.split(k)
+        h, _, (pm, ps) = rssm.apply(
+            {"params": params}, h, z, act_t, k1, method=RSSM.step_prior
+        )
+        z, (qm, qs) = rssm.apply(
+            {"params": params}, h, embed_t, k2, method=RSSM.posterior
+        )
+        r = rssm.apply({"params": params}, h, z, method=RSSM.reward)
+        return (h, z), (h, z, pm, ps, qm, qs, r)
+
+    ks = jax.random.split(key, T)
+    (h, z), (hs, zs, pm, ps, qm, qs, r) = jax.lax.scan(
+        body, (h, z), (embeds, actions, is_first, ks)
+    )
+    return TDict(h=hs, z=zs, prior_mean=pm, prior_std=ps,
+                 post_mean=qm, post_std=qs, pred_reward=r,
+                 final={"h": h, "z": z})
+
+
+def rssm_imagine(rssm: RSSM, params, policy_fn, h0, z0, horizon: int, key):
+    """Imagination rollout from starting states using the prior only.
+
+    ``policy_fn(h, z, key) -> action``.  Returns [H, N, ...] latents,
+    actions, predicted rewards (the Dreamer actor's training data).
+    """
+
+    def body(carry, k):
+        h, z = carry
+        k1, k2 = jax.random.split(k)
+        action = policy_fn(h, z, k1)
+        h, z, _ = rssm.apply(
+            {"params": params}, h, z, action, k2, method=RSSM.step_prior
+        )
+        r = rssm.apply({"params": params}, h, z, method=RSSM.reward)
+        return (h, z), (h, z, action, r)
+
+    ks = jax.random.split(key, horizon)
+    _, (hs, zs, acts, rs) = jax.lax.scan(body, (h0, z0), ks)
+    return TDict(h=hs, z=zs, action=acts, pred_reward=rs)

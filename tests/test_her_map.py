@@ -1,0 +1,151 @@
+"""HER relabeling, parameter schedulers, TensorDictMap/MCTSForest."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rl_tpu.data import TDict
+from rl_tpu.data.map import MCTSForest, QueryModule, RandomProjectionHash, SipHash, TensorDictMap
+from rl_tpu.data.replay import PrioritizedSampler
+from rl_tpu.data.replay.her import HERReplayBuffer, her_relabel
+from rl_tpu.data.replay.scheduler import LambdaScheduler, LinearScheduler
+
+
+def goal_reward(achieved, goal):
+    return (jnp.linalg.norm(achieved - goal, axis=-1, keepdims=True) < 0.1).astype(
+        jnp.float32
+    )
+
+
+def make_traj(T=6):
+    ag = jnp.arange(T, dtype=jnp.float32)[:, None]  # achieved goal walks 0..5
+    return TDict(
+        observation=ag,
+        desired_goal=jnp.full((T, 1), 100.0),  # unreachable
+        action=jnp.zeros((T, 1)),
+        next={
+            "observation": ag + 1,
+            "achieved_goal": ag + 1,
+            "reward": jnp.zeros((T, 1)),
+            "done": jnp.zeros((T, 1), bool),
+            "terminated": jnp.zeros((T, 1), bool),
+        },
+    )
+
+
+class TestHER:
+    def test_final_strategy(self, key):
+        traj = make_traj()
+        out = her_relabel(traj, goal_reward, key, strategy="final")
+        # goal becomes the final achieved goal (6.0) everywhere
+        np.testing.assert_allclose(np.asarray(out["desired_goal"]), 6.0)
+        # reward=1 only where achieved == 6 (the last step)
+        r = np.asarray(out["next", "reward"]).squeeze(-1)
+        np.testing.assert_array_equal(r, [0, 0, 0, 0, 0, 1])
+
+    def test_future_strategy_goals_from_future(self, key):
+        traj = make_traj()
+        out = her_relabel(traj, goal_reward, key, strategy="future")
+        goals = np.asarray(out["desired_goal"]).squeeze(-1)
+        achieved = np.asarray(traj["next", "achieved_goal"]).squeeze(-1)
+        for t in range(6):
+            assert goals[t] >= achieved[t] - 1  # from t or later
+
+    def test_her_buffer_doubles_data(self, key):
+        rb = HERReplayBuffer(reward_fn=goal_reward, capacity=100, batch_size=8,
+                             samples_per_traj=1)
+        rb.extend_trajectory(make_traj())
+        assert len(rb) == 12  # 6 original + 6 relabeled
+
+
+class TestSchedulers:
+    def test_linear_anneals_beta(self):
+        s = PrioritizedSampler(16, beta=0.4)
+        sched = LinearScheduler(s, "beta", final=1.0, num_steps=10)
+        for _ in range(5):
+            sched.step()
+        assert abs(s.beta - 0.7) < 1e-6
+        for _ in range(10):
+            sched.step()
+        assert s.beta == 1.0
+
+    def test_lambda_scheduler(self):
+        class Obj:
+            alpha = 2.0
+
+        o = Obj()
+        sched = LambdaScheduler(o, "alpha", lambda s: 0.5**s)
+        sched.step()
+        assert abs(o.alpha - 1.0) < 1e-9
+
+
+class TestMap:
+    def test_siphash_deterministic(self):
+        h = SipHash()
+        a = jnp.arange(5.0)
+        assert h(a) == h(jnp.arange(5.0))
+        assert h(a) != h(jnp.arange(5.0) + 1)
+
+    def test_projection_hash_buckets_similar(self):
+        h = RandomProjectionHash(dim=8, n_bits=16)
+        x = np.random.RandomState(0).randn(8).astype(np.float32)
+        assert h(x) == h(x + 1e-7)
+        assert h(x) != h(-x)
+
+    def test_tensordict_map(self):
+        m = TensorDictMap(["observation"])
+        td1 = TDict(observation=jnp.ones(3))
+        m[td1] = TDict(count=jnp.asarray(1))
+        assert td1 in m
+        assert int(m[td1]["count"]) == 1
+        td2 = TDict(observation=jnp.zeros(3))
+        assert td2 not in m
+        m.update_in_place(
+            td1, lambda cur: cur.set("count", cur["count"] + 1)
+        )
+        assert int(m[td1]["count"]) == 2
+
+    def test_mcts_forest_transpositions(self):
+        forest = MCTSForest(n_actions=3, query=["observation"])
+        s = TDict(observation=jnp.ones(2))
+        n1 = forest.get_node(s)
+        n1.update(0, 1.0)
+        n2 = forest.get_node(TDict(observation=jnp.ones(2)))
+        assert n2 is n1  # same state -> same node
+        assert n2.visits[0] == 1
+        np.testing.assert_allclose(n2.q_values[0], 1.0)
+        assert len(forest) == 1
+
+
+class TestMCTSSearchLoop:
+    def test_tiny_search_prefers_good_action(self, key):
+        """A minimal full MCTS over the counting env using forest + PUCT."""
+        from rl_tpu.envs.testing import CountingEnv
+        from rl_tpu.modules.mcts import puct_score
+
+        env = CountingEnv(max_steps=3)
+        forest = MCTSForest(n_actions=2, query=["observation"])
+        k = key
+        state, td0 = env.reset(k)
+        root = forest.get_node(td0.select("observation"))
+        for sim in range(50):
+            node, s, t = root, state, td0
+            path = []
+            for depth in range(3):
+                scores = puct_score(
+                    node.q_values, node.prior, node.visits,
+                    jnp.asarray(node.total_visits + 1.0),
+                )
+                a = int(np.argmax(np.asarray(scores)))
+                k, kk = jax.random.split(k)
+                s, full, t = env.step_and_maybe_reset(
+                    s, t.set("action", jnp.asarray(a)), kk
+                )
+                path.append((node, a, float(full["next", "reward"][0])))
+                node = forest.get_node(t.select("observation"))
+            ret = 0.0
+            for n, a, r in reversed(path):
+                ret = r + 0.9 * ret
+                n.update(a, ret)
+        # action 1 (increment) earns reward; action 0 earns none
+        assert root.q_values[1] > root.q_values[0]
