@@ -1,5 +1,12 @@
 from .cartpole import CartPoleEnv
 from .pendulum import PendulumEnv
 from .mountain_car import MountainCarEnv, ContinuousMountainCarEnv
+from .acrobot import AcrobotEnv
 
-__all__ = ["CartPoleEnv", "PendulumEnv", "MountainCarEnv", "ContinuousMountainCarEnv"]
+__all__ = [
+    "CartPoleEnv",
+    "PendulumEnv",
+    "MountainCarEnv",
+    "ContinuousMountainCarEnv",
+    "AcrobotEnv",
+]

@@ -44,8 +44,13 @@ def gym_space_to_spec(space) -> TensorSpec | Composite:
 def dm_spec_to_spec(spec) -> TensorSpec:
     from dm_env import specs as dm_specs
 
+    def _dt(dtype):
+        # dm_control uses float64; JAX runs x32 by default
+        d = jnp.dtype(dtype)
+        return jnp.float32 if d == np.dtype("float64") else d
+
     if isinstance(spec, dm_specs.BoundedArray):
-        return Bounded(spec.minimum, spec.maximum, spec.shape, jnp.dtype(spec.dtype))
+        return Bounded(spec.minimum, spec.maximum, spec.shape, _dt(spec.dtype))
     if isinstance(spec, dm_specs.Array):
-        return Unbounded(spec.shape, jnp.dtype(spec.dtype))
+        return Unbounded(spec.shape, _dt(spec.dtype))
     raise NotImplementedError(f"dm spec {type(spec)} not supported")

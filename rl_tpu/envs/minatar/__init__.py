@@ -1,3 +1,4 @@
 from .breakout import BreakoutEnv
+from .space_invaders import SpaceInvadersEnv
 
-__all__ = ["BreakoutEnv"]
+__all__ = ["BreakoutEnv", "SpaceInvadersEnv"]

@@ -1,0 +1,124 @@
+"""LLM policy wrappers over external engines.
+
+Counterparts of the reference LLM policy layer
+(``/root/reference/torchrl/modules/llm/policies/``: ``TransformersWrapper``
+(2,828 LoC), ``vLLMWrapper``, ``SGLangWrapper``).  The engines themselves
+(vLLM/SGLang) are not in this image; the HF transformers backend is, so
+``TransformersWrapper`` provides the reference's host-side contract:
+generate completions and score per-token log-probs for GRPO/SFT training.
+Everything returns padded numpy/TDict batches ready for the device-side
+losses (rl_tpu.objectives.llm).
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import numpy as np
+
+from rl_tpu.data import TDict
+from rl_tpu.data.llm import History
+
+__all__ = ["TransformersWrapper"]
+
+
+class TransformersWrapper:
+    """Wrap a HF causal-LM (torch) as a ChatEnv engine + log-prob scorer.
+
+    * ``generate(history) -> (text, token_ids, log_probs)`` — the ChatEnv
+      engine protocol;
+    * ``log_probs_batch(prompts_tokens, response_tokens)`` — per-token
+      log-probs under the CURRENT weights (the GRPO "new policy" pass);
+    * response masks mark which positions contribute to losses.
+    """
+
+    def __init__(self, model, tokenizer, *, max_new_tokens: int = 32,
+                 temperature: float = 1.0, do_sample: bool = True):
+        self.model = model
+        self.tokenizer = tokenizer
+        self.max_new_tokens = int(max_new_tokens)
+        self.temperature = float(temperature)
+        self.do_sample = do_sample
+
+    # -- engine protocol ----------------------------------------------------
+    def generate(self, history: History):
+        import torch
+
+        prompt_ids = self._encode_history(history)
+        input_ids = torch.tensor([prompt_ids], dtype=torch.long)
+        with torch.no_grad():
+            out = self.model.generate(
+                input_ids,
+                max_new_tokens=self.max_new_tokens,
+                do_sample=self.do_sample,
+                temperature=self.temperature,
+                pad_token_id=self._pad_id(),
+                return_dict_in_generate=True,
+                output_scores=True,
+            )
+        seq = out.sequences[0]
+        response_ids = seq[len(prompt_ids):].tolist()
+        log_probs = []
+        for score, tok in zip(out.scores, response_ids):
+            lp = torch.log_softmax(score[0], dim=-1)[tok]
+            log_probs.append(float(lp))
+        text = self.tokenizer.decode(response_ids, skip_special_tokens=True)
+        return text, response_ids, log_probs
+
+    # -- scoring ------------------------------------------------------------
+    def log_probs_batch(self, prompt_ids: Sequence[Sequence[int]],
+                        response_ids: Sequence[Sequence[int]]) -> TDict:
+        """Score responses under current weights; returns padded
+        TDict(tokens, log_probs, response_mask) [B, L]."""
+        import torch
+
+        rows = []
+        for p, r in zip(prompt_ids, response_ids):
+            rows.append((list(p), list(r)))
+        L = max(len(p) + len(r) for p, r in rows)
+        pad = self._pad_id()
+        tokens = np.full((len(rows), L), pad, np.int64)
+        mask = np.zeros((len(rows), L), bool)
+        for i, (p, r) in enumerate(rows):
+            tokens[i, : len(p) + len(r)] = p + r
+            mask[i, len(p): len(p) + len(r)] = True
+        t = torch.tensor(tokens)
+        with torch.no_grad():
+            logits = self.model(t).logits  # [B, L, V]
+        logp = torch.log_softmax(logits[:, :-1], dim=-1)
+        tgt = t[:, 1:]
+        token_logp = logp.gather(-1, tgt.unsqueeze(-1)).squeeze(-1)  # [B, L-1]
+        # shift: log_probs[i, j] scores tokens[i, j+1]; align to token pos
+        out_logp = np.zeros((len(rows), L), np.float32)
+        out_logp[:, 1:] = token_logp.numpy()
+        return TDict(
+            tokens=tokens.astype(np.int32),
+            log_probs=out_logp,
+            response_mask=mask,
+        )
+
+    def grpo_log_prob_fn(self):
+        """Adapter for GRPOLoss(policy_log_prob_fn=...): host re-scoring."""
+
+        def fn(params, td):
+            # params unused: HF weights live in the wrapped torch model
+            return np.asarray(td["log_probs"])
+
+        return fn
+
+    # -- helpers ------------------------------------------------------------
+    def _encode_history(self, history: History) -> list[int]:
+        if hasattr(self.tokenizer, "apply_chat_template"):
+            try:
+                return list(self.tokenizer.apply_chat_template(
+                    history.to_chats(), add_generation_prompt=True
+                ))
+            except Exception:
+                pass
+        enc = self.tokenizer(history.render())
+        return list(enc["input_ids"] if isinstance(enc, dict) else enc)
+
+    def _pad_id(self) -> int:
+        pid = getattr(self.tokenizer, "pad_token_id", None)
+        if pid is None:
+            pid = getattr(self.tokenizer, "eos_token_id", 0)
+        return int(pid or 0)
