@@ -1,10 +1,14 @@
-"""Benchmark: PPO end-to-end throughput (collect + GAE + update) on one chip.
+"""Benchmark: pixel-PPO end-to-end throughput on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Flagship pipeline: 4096 on-device Breakout (MinAtar-style) envs stepping in
+lockstep with a conv policy, GAE, and 4 minibatch PPO updates — everything
+one fused jit.  Prints ONE JSON line.
 
 Baseline: the north star is >=1M env-steps/s aggregate on a 16-chip slice
-(BASELINE.md), i.e. 62.5k steps/s/chip — vs_baseline is measured
-steps/s-per-chip over that target.
+(BASELINE.md) → 62.5k steps/s/chip; vs_baseline is measured per-chip
+throughput over that target.  (For scale: the reference's headline Dreamer
+collection is ~15.6k env-fps on an H200, sota-implementations/dreamer/
+README.md:162.)
 """
 from __future__ import annotations
 
@@ -12,42 +16,102 @@ import json
 import time
 
 import jax
+import jax.numpy as jnp
+import optax
 
 PER_CHIP_TARGET = 1_000_000 / 16
 
 
-def main() -> None:
-    import __graft_entry__ as g
+def build(num_envs: int = 4096, steps: int = 32):
+    from rl_tpu.collectors import Collector
+    from rl_tpu.data import TDict
+    from rl_tpu.envs import BatchedEnv
+    from rl_tpu.envs.minatar import BreakoutEnv
+    from rl_tpu.modules import MLP, Categorical, ConvNet, ProbabilisticActor, Seq, TDModule
+    from rl_tpu.objectives import GAE, ClipPPOLoss
 
-    num_envs = 4096
-    steps_per_batch = 32
-    env, collector, params, opt_state, train_step = g.build_ppo(
-        num_envs=num_envs, frames_per_batch=num_envs * steps_per_batch
+    env = BatchedEnv(BreakoutEnv(), num_envs)
+    net = Seq(
+        TDModule(ConvNet(channels=(16, 32), kernel_sizes=(3, 3), strides=(1, 1)),
+                 ["pixels"], ["hidden"]),
+        TDModule(MLP(out_features=3, num_cells=(128,), activation="relu"),
+                 ["hidden"], ["logits"]),
     )
+    actor = ProbabilisticActor(net, Categorical, dist_keys=["logits"])
+
+    class SeqValue:
+        in_keys = ["pixels"]
+        out_keys = ["state_value"]
+
+        def __init__(self, seq):
+            self.seq = seq
+
+        def init(self, key, td):
+            return self.seq.init(key, td)
+
+        def __call__(self, params, td, key=None):
+            return self.seq(params, td, key=key)
+
+    critic = SeqValue(Seq(
+        TDModule(ConvNet(channels=(16, 32), kernel_sizes=(3, 3), strides=(1, 1)),
+                 ["pixels"], ["h2"]),
+        TDModule(MLP(out_features=1, num_cells=(128,), activation="relu"),
+                 ["h2"], ["state_value"]),
+    ))
+    key = jax.random.PRNGKey(0)
+    td0 = TDict(pixels=jnp.zeros((1, 10, 10, 4)))
+    params = TDict(actor=actor.init(key, td0), critic=critic.init(key, td0))
+    collector = Collector(env, lambda p, td, k: actor(p["actor"], td, key=k),
+                          frames_per_batch=num_envs * steps)
+    gae = GAE(0.99, 0.95, critic, average_gae=True)
+    loss_mod = ClipPPOLoss(actor, critic)
+    tx = optax.adam(3e-4)
+    opt_state = tx.init(params)
+
+    def train_step(params, opt_state, cstate, k):
+        cstate, batch = collector._collect(params, cstate)
+        batch = gae(params["critic"], batch)
+        flat = batch.apply(lambda x: x.reshape((-1,) + x.shape[2:]))
+        n = flat["advantage"].shape[0]
+        idxs = jax.random.permutation(k, n).reshape(4, n // 4)
+
+        def mb(carry, idx):
+            params, opt_state = carry
+            (total, _), grads = jax.value_and_grad(
+                lambda p: loss_mod(p, flat[idx]), has_aux=True
+            )(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), total
+
+        (params, opt_state), _ = jax.lax.scan(mb, (params, opt_state), idxs)
+        return params, opt_state, cstate, batch["next", "reward"].mean()
+
+    return collector, params, opt_state, train_step
+
+
+def main() -> None:
+    num_envs, steps = 4096, 32
+    collector, params, opt_state, train_step = build(num_envs, steps)
     key = jax.random.PRNGKey(0)
     cstate = collector.init(key)
     step = jax.jit(train_step)
-
-    # warmup / compile
-    params, opt_state, cstate, loss, reward = step(params, opt_state, cstate, key)
-    jax.block_until_ready(loss)
+    params, opt_state, cstate, r = step(params, opt_state, cstate, key)
+    jax.block_until_ready(r)
 
     iters = 10
     t0 = time.perf_counter()
-    for i in range(iters):
+    for _ in range(iters):
         key, k = jax.random.split(key)
-        params, opt_state, cstate, loss, reward = step(params, opt_state, cstate, k)
-    jax.block_until_ready(loss)
+        params, opt_state, cstate, r = step(params, opt_state, cstate, k)
+    jax.block_until_ready(r)
     dt = time.perf_counter() - t0
-
-    frames = iters * num_envs * steps_per_batch
-    steps_per_s = frames / dt
+    steps_per_s = iters * num_envs * steps / dt
     print(
         json.dumps(
             {
-                "metric": "ppo_pendulum_env_steps_per_s",
+                "metric": "pixel_ppo_env_steps_per_s",
                 "value": round(steps_per_s, 1),
-                "unit": "env-steps/s (collect+GAE+4 minibatch updates, 1 chip)",
+                "unit": "env-steps/s (Breakout pixels: collect+GAE+4 PPO updates, 1 chip)",
                 "vs_baseline": round(steps_per_s / PER_CHIP_TARGET, 3),
             }
         )
