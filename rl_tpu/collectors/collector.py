@@ -150,6 +150,55 @@ class Collector:
             batch = self.postproc(batch)
         return cstate, batch
 
+    # -- background collection (reference _single.py:1854: collector.start())
+    def start(self, replay_buffer, *, params=None, key=None,
+              flatten: bool = True, postproc=None) -> None:
+        """Collect continuously on a background thread, extending
+        ``replay_buffer`` after every batch.  ``update_policy_weights_`` swaps
+        the params the thread uses (UTD-style async training).  Call
+        :meth:`async_shutdown` to stop."""
+        import threading
+
+        if params is not None:
+            self._params = params
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        self._stop_event = threading.Event()
+        self._pause_event = threading.Event()
+        self.frames_collected = 0
+
+        def loop():
+            cstate = self.init(key)
+            while not self._stop_event.is_set():
+                if self._pause_event.is_set():
+                    self._pause_event.wait(timeout=0.05)
+                    import time
+
+                    time.sleep(0.01)
+                    continue
+                cstate, batch = self.collect(self._params, cstate)
+                if flatten:
+                    batch = batch.apply(lambda x: x.reshape((-1,) + x.shape[2:]))
+                if postproc is not None:
+                    batch = postproc(batch)
+                replay_buffer.extend(batch)
+                self.frames_collected += self.frames_per_batch
+                if 0 < self.total_frames <= self.frames_collected:
+                    break
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+
+    def pause(self) -> None:
+        self._pause_event.set()
+
+    def resume(self) -> None:
+        self._pause_event.clear()
+
+    def async_shutdown(self, timeout: float = 10.0) -> None:
+        self._stop_event.set()
+        self._thread.join(timeout=timeout)
+
     # -- iterator API (reference-compatible) --------------------------------
     def update_policy_weights_(self, params) -> None:
         self._params = params

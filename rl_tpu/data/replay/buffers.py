@@ -56,8 +56,12 @@ class ReplayBuffer:
         self.transform = transform
         self._state: TDict | None = None
         self._key = None
-        self._jit_extend: dict[int, Callable] = {}
-        self._jit_sample: dict[int, Callable] = {}
+        # cache jitted entry points: rebuilding jax.jit per call would
+        # retrace every time
+        self._jit_extend: Callable | None = None
+        self._jit_add: Callable | None = None
+        self._jit_sample: Callable | None = None
+        self._jit_update_priority: Callable | None = None
 
     # -- functional core ----------------------------------------------------
     def init(self, example: TDict) -> TDict:
@@ -128,13 +132,17 @@ class ReplayBuffer:
     def extend(self, data: TDict):
         if self._state is None:
             self._state = self.init_from_batch(data)
-        self._state, idx = jax.jit(self.extend_fn)(self._state, data)
+        if self._jit_extend is None:
+            self._jit_extend = jax.jit(self.extend_fn)
+        self._state, idx = self._jit_extend(self._state, data)
         return idx
 
     def add(self, item: TDict):
         if self._state is None:
             self._state = self.init(item)
-        self._state, idx = jax.jit(self.add_fn)(self._state, item)
+        if self._jit_add is None:
+            self._jit_add = jax.jit(self.add_fn)
+        self._state, idx = self._jit_add(self._state, item)
         return idx
 
     def sample(self, batch_size: int | None = None, return_info: bool = False):
@@ -143,13 +151,19 @@ class ReplayBuffer:
         if self._key is None:
             self.seed()
         self._key, k = jax.random.split(self._key)
-        self._state, batch, info = jax.jit(
-            self.sample_fn, static_argnames=("batch_size",)
-        )(self._state, k, batch_size=batch_size or self.batch_size)
+        if self._jit_sample is None:
+            self._jit_sample = jax.jit(
+                self.sample_fn, static_argnames=("batch_size",)
+            )
+        self._state, batch, info = self._jit_sample(
+            self._state, k, batch_size=batch_size or self.batch_size
+        )
         return (batch, info) if return_info else batch
 
     def update_priority(self, idx, priority):
-        self._state = jax.jit(self.update_priority_fn)(self._state, idx, priority)
+        if self._jit_update_priority is None:
+            self._jit_update_priority = jax.jit(self.update_priority_fn)
+        self._state = self._jit_update_priority(self._state, idx, priority)
 
     def __len__(self):
         if self._state is None:

@@ -25,6 +25,8 @@ __all__ = [
     "SamplerWithoutReplacement",
     "PrioritizedSampler",
     "SliceSampler",
+    "SliceSamplerWithoutReplacement",
+    "PrioritizedSliceSampler",
     "HostPrioritizedSampler",
 ]
 
@@ -268,3 +270,91 @@ class SliceSampler:
 
     def update_priority(self, sstate, idx, priority) -> TDict:
         return sstate
+
+
+class SliceSamplerWithoutReplacement(SliceSampler):
+    """Epoch-style slice sampling: window end positions are drawn without
+    replacement from a shuffled permutation (reference samplers.py:2789).
+    Requires a full storage like SamplerWithoutReplacement."""
+
+    def init(self) -> TDict:
+        return TDict(
+            perm=jnp.arange(self.capacity, dtype=jnp.int32),
+            pos=jnp.zeros((), jnp.int32),
+            seeded=jnp.zeros((), jnp.bool_),
+        )
+
+    def extend(self, sstate: TDict, idx) -> TDict:
+        return sstate.set("pos", jnp.zeros((), jnp.int32)).set(
+            "seeded", jnp.zeros((), jnp.bool_)
+        )
+
+    def sample(self, sstate: TDict, size, batch_size: int, key, dones=None):
+        L = self.slice_len or (batch_size // (self.num_slices or 1))
+        n = self.num_slices or (batch_size // L)
+
+        def reshuffle(s):
+            perm = jax.random.permutation(key, self.capacity).astype(jnp.int32)
+            return TDict(perm=perm, pos=jnp.zeros((), jnp.int32),
+                         seeded=jnp.ones((), jnp.bool_))
+
+        needs = (~sstate["seeded"]) | (sstate["pos"] + n > self.capacity)
+        sstate = jax.lax.cond(needs, reshuffle, lambda s: s, sstate)
+        pos = sstate["pos"]
+        ends = jax.lax.dynamic_slice(sstate["perm"], (pos,), (n,))
+        ends = jnp.clip(ends, L - 1, jnp.maximum(size - 1, L - 1))
+        sstate = sstate.set("pos", pos + n)
+        offsets = jnp.arange(L, dtype=jnp.int32) - (L - 1)
+        idx = ends[:, None] + offsets[None, :]
+        valid = idx >= 0
+        idx = jnp.clip(idx, 0, self.capacity - 1)
+        if dones is not None:
+            d = jnp.asarray(dones).reshape(-1)[idx]
+            d2 = d.astype(jnp.int32).at[:, -1].set(0)
+            suffix = jnp.flip(jnp.cumsum(jnp.flip(d2, axis=1), axis=1), axis=1)
+            valid = valid & (suffix == 0)
+        return sstate, idx.reshape(-1), TDict(
+            mask=valid.reshape(-1), slice_shape=jnp.asarray([n, L])
+        )
+
+
+class PrioritizedSliceSampler(SliceSampler):
+    """Slice sampling where window ends are drawn from a priority
+    distribution (reference samplers.py:3091): combines the prioritized
+    inverse-CDF with window gathering.  Priorities live per-transition; the
+    window end is the prioritized draw."""
+
+    def __init__(self, capacity: int, num_slices=None, slice_len=None,
+                 alpha: float = 0.6, beta: float = 0.4, eps: float = 1e-8,
+                 **kwargs):
+        super().__init__(capacity, num_slices, slice_len, **kwargs)
+        self._prio = PrioritizedSampler(capacity, alpha, beta, eps)
+
+    def init(self) -> TDict:
+        return self._prio.init()
+
+    def extend(self, sstate: TDict, idx) -> TDict:
+        return self._prio.extend(sstate, idx)
+
+    def update_priority(self, sstate, idx, priority) -> TDict:
+        return self._prio.update_priority(sstate, idx, priority)
+
+    def sample(self, sstate: TDict, size, batch_size: int, key, dones=None):
+        L = self.slice_len or (batch_size // (self.num_slices or 1))
+        n = self.num_slices or (batch_size // L)
+        sstate, ends, info = self._prio.sample(sstate, size, n, key)
+        ends = jnp.clip(ends, L - 1, jnp.maximum(size - 1, L - 1))
+        offsets = jnp.arange(L, dtype=jnp.int32) - (L - 1)
+        idx = ends[:, None] + offsets[None, :]
+        valid = idx >= 0
+        idx = jnp.clip(idx, 0, self.capacity - 1)
+        if dones is not None:
+            d = jnp.asarray(dones).reshape(-1)[idx]
+            d2 = d.astype(jnp.int32).at[:, -1].set(0)
+            suffix = jnp.flip(jnp.cumsum(jnp.flip(d2, axis=1), axis=1), axis=1)
+            valid = valid & (suffix == 0)
+        weights = jnp.repeat(info["_weight"], L)
+        return sstate, idx.reshape(-1), TDict(
+            mask=valid.reshape(-1), _weight=weights,
+            slice_shape=jnp.asarray([n, L]), end_index=ends,
+        )

@@ -128,3 +128,45 @@ class TestSplitTrajectories:
         obs = np.asarray(out["next", "observation"]).squeeze(-1)
         for i in range(4):
             np.testing.assert_array_equal(obs[i], [1, 2, 3])
+
+
+class TestBackgroundCollection:
+    def test_start_fills_buffer_and_stops(self, key):
+        import time
+
+        from rl_tpu.data.replay import ReplayBuffer
+
+        env = BatchedEnv(CountingEnv(max_steps=5), 4)
+        col = Collector(env, count_policy, frames_per_batch=16, total_frames=64)
+        rb = ReplayBuffer(capacity=1000, batch_size=8)
+        col.update_policy_weights_(TDict())
+        col.start(rb, key=key)
+        deadline = time.time() + 30
+        while col.frames_collected < 64 and time.time() < deadline:
+            time.sleep(0.05)
+        col.async_shutdown()
+        assert col.frames_collected >= 64
+        assert len(rb) == 64
+        batch = rb.sample()
+        assert batch["next", "observation"].shape == (8, 1)
+
+    def test_pause_resume(self, key):
+        import time
+
+        from rl_tpu.data.replay import ReplayBuffer
+
+        env = BatchedEnv(CountingEnv(max_steps=5), 4)
+        col = Collector(env, count_policy, frames_per_batch=16)
+        rb = ReplayBuffer(capacity=10000, batch_size=8)
+        col.update_policy_weights_(TDict())
+        col.start(rb, key=key)
+        time.sleep(0.5)
+        col.pause()
+        time.sleep(0.2)
+        frozen = col.frames_collected
+        time.sleep(0.4)
+        assert col.frames_collected == frozen  # no progress while paused
+        col.resume()
+        time.sleep(0.5)
+        col.async_shutdown()
+        assert col.frames_collected > frozen

@@ -250,3 +250,49 @@ class TestHostStorages:
         out = st.get(None, np.array([3, 1]))
         np.testing.assert_array_equal(np.asarray(out["nested", "x"]), [3, 1])
         assert st.size() == 4
+
+
+class TestSliceVariants:
+    def make_rb(self, sampler_cls, **kw):
+        cap = 32
+        sampler = sampler_cls(cap, num_slices=4, slice_len=4, **kw)
+        rb = ReplayBuffer(storage=TensorStorage(cap), sampler=sampler, batch_size=16)
+        done = jnp.zeros((cap, 1), bool).at[jnp.array([7, 15, 23, 31])].set(True)
+        rb.extend(TDict(
+            obs=jnp.arange(cap, dtype=jnp.float32)[:, None],
+            next={"done": done},
+        ))
+        return rb
+
+    def test_without_replacement_covers_ends(self, key):
+        from rl_tpu.data.replay.samplers import SliceSamplerWithoutReplacement
+
+        rb = self.make_rb(SliceSamplerWithoutReplacement)
+        ends = []
+        for _ in range(8):
+            batch, info = rb.sample(return_info=True)
+            idx = np.asarray(info["index"]).reshape(4, 4)
+            ends.extend(idx[:, -1].tolist())
+        # one epoch covers every valid end exactly once; perm entries below
+        # L-1=3 clip up to 3, so uniques = 32 - 3 and nothing below 3
+        assert min(ends) == 3
+        assert len(set(ends)) == 29
+        assert all(e >= 3 for e in ends)
+
+    def test_prioritized_slices_follow_priority(self, key):
+        from rl_tpu.data.replay.samplers import PrioritizedSliceSampler
+
+        rb = self.make_rb(PrioritizedSliceSampler, alpha=1.0)
+        # make window-end 20 dominate
+        rb.update_priority(jnp.arange(32), jnp.ones(32) * 1e-3)
+        rb.update_priority(jnp.array([20]), jnp.array([1000.0]))
+        batch, info = rb.sample(return_info=True)
+        ends = np.asarray(info["end_index"])
+        assert (ends == 20).mean() > 0.7
+        assert "_weight" in info
+        # window mask respects episode boundary at 15 (for end=20, start=17)
+        idx = np.asarray(info["index"]).reshape(4, 4)
+        mask = np.asarray(info["mask"]).reshape(4, 4)
+        for s in range(4):
+            vi = idx[s][mask[s]]
+            assert not np.isin(vi[:-1], [7, 15, 23, 31]).any()
