@@ -23,7 +23,9 @@ from rl_tpu.data.replay import ReplayBuffer
 from rl_tpu.objectives import GAE, ClipPPOLoss, DQNLoss, SACLoss, SoftUpdate
 from rl_tpu.utils import timeit
 
-__all__ = ["PPOTrainer", "SACTrainer", "DQNTrainer"]
+__all__ = ["PPOTrainer", "SACTrainer", "DQNTrainer", "DDPGTrainer",
+           "TD3Trainer", "OfflineTrainer", "IQLTrainer", "CQLTrainer",
+           "TD3BCTrainer", "OfflineToOnlineTrainer"]
 
 
 def _flatten_time(batch: TDict) -> TDict:
@@ -178,13 +180,13 @@ class _OffPolicyTrainer(_TrainerBase):
         self.rb = ReplayBuffer(capacity=buffer_capacity, batch_size=batch_size)
         self._key = jax.random.PRNGKey(seed)
 
-    def _grad_and_update(self, params, opt_state, mb, k):
+    def _grad_and_update(self, params, opt_state, mb, k, idx):
         raise NotImplementedError
 
     def _policy_state(self, params):
         return params
 
-    def _post_update(self, params):
+    def _post_update(self, params, idx=0):
         return params
 
     def _make_update(self):
@@ -192,18 +194,22 @@ class _OffPolicyTrainer(_TrainerBase):
             cstate, batch = self.collector._collect(self._policy_state(params), cstate)
             rb_state, _ = self.rb.extend_fn(rb_state, _flatten_time(batch))
 
-            def upd(carry, k):
+            def upd(carry, xs):
+                k, idx = xs
                 params, opt_state, rb_state = carry
                 k_s, k_l = jax.random.split(k)
                 rb_state, mb, info = self.rb.sample_fn(
                     rb_state, k_s, batch_size=self.batch_size
                 )
-                params, opt_state = self._grad_and_update(params, opt_state, mb, k_l)
-                params = self._post_update(params)
+                params, opt_state = self._grad_and_update(
+                    params, opt_state, mb, k_l, idx
+                )
+                params = self._post_update(params, idx)
                 return (params, opt_state, rb_state), None
 
             (params, opt_state, rb_state), _ = jax.lax.scan(
-                upd, (params, opt_state, rb_state), jax.random.split(key, self.utd)
+                upd, (params, opt_state, rb_state),
+                (jax.random.split(key, self.utd), jnp.arange(self.utd)),
             )
             return params, opt_state, rb_state, cstate, batch["next", "reward"].mean()
 
@@ -214,6 +220,19 @@ class _OffPolicyTrainer(_TrainerBase):
         cstate = self.collector.init(k)
         cstate, batch0 = self.collector.collect(self._policy_state(self.params), cstate)
         rb_state = self.rb.init_from_batch(_flatten_time(batch0))
+        seed_batch = getattr(self, "_seed_batch", None)
+        if seed_batch is not None:  # offline-to-online warm start
+            # conform the offline dataset to the buffer structure: policy
+            # extras (loc/scale/log-prob...) absent offline become zeros
+            flat0 = _flatten_time(batch0)
+            n_seed = int(jnp.asarray(jax.tree.leaves(seed_batch)[0]).shape[0])
+            conformed = flat0.apply(
+                lambda x: jnp.zeros((n_seed,) + x.shape[1:], x.dtype)
+            )
+            for k, v in seed_batch.items(include_nested=True, leaves_only=True):
+                if k in conformed:
+                    conformed = conformed.set(k, jnp.asarray(v))
+            rb_state, _ = jax.jit(self.rb.extend_fn)(rb_state, conformed)
         update = self._make_update()
         frames = self.collector.frames_per_batch
         it = 0
@@ -261,12 +280,12 @@ class SACTrainer(_OffPolicyTrainer):
         self.tx = optax.adam(lr)
         self.opt_state = self.tx.init(self.params)
 
-    def _grad_and_update(self, params, opt_state, mb, k):
+    def _grad_and_update(self, params, opt_state, mb, k, idx):
         grads = jax.grad(lambda p: self.loss_module(p, mb, k)[0])(params)
         updates, opt_state = self.tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state
 
-    def _post_update(self, params):
+    def _post_update(self, params, idx=0):
         return params.set(
             "target_qvalue", self.updater(params["target_qvalue"], params["qvalue"])
         )
@@ -312,14 +331,14 @@ class DQNTrainer(_OffPolicyTrainer):
     def _policy_state(self, params):
         return TDict(params=params, eg=self._eg_state)
 
-    def _grad_and_update(self, params, opt_state, mb, k):
+    def _grad_and_update(self, params, opt_state, mb, k, idx):
         g = jax.grad(lambda pv: self.loss_module(params.set("value", pv), mb)[0])(
             params["value"]
         )
         updates, opt_state = self.tx.update(g, opt_state, params["value"])
         return params.set("value", optax.apply_updates(params["value"], updates)), opt_state
 
-    def _post_update(self, params):
+    def _post_update(self, params, idx=0):
         return params.set(
             "target_value", self.updater(params["target_value"], params["value"])
         )
@@ -337,3 +356,280 @@ class DQNTrainer(_OffPolicyTrainer):
             return out
 
         return update
+
+
+class DDPGTrainer(_OffPolicyTrainer):
+    """DDPG: deterministic actor + annealed Gaussian exploration
+    (reference trainers/algorithms/ddpg.py)."""
+
+    def __init__(self, env, actor, qvalue, *, frames_per_batch=128,
+                 total_frames=100000, buffer_capacity=1_000_000, batch_size=256,
+                 utd=8, lr_actor=1e-4, lr_critic=1e-3, gamma=0.99, tau=0.005,
+                 sigma_init=0.3, sigma_end=0.1, sigma_anneal_iters=1000,
+                 init_random_frames=1000, seed=0, **base_kwargs):
+        super().__init__(
+            frames_per_batch=frames_per_batch, total_frames=total_frames,
+            buffer_capacity=buffer_capacity, batch_size=batch_size, utd=utd,
+            seed=seed, **base_kwargs,
+        )
+        from rl_tpu.modules import AdditiveGaussianModule
+        from rl_tpu.objectives import DDPGLoss
+
+        self.env = env
+        self.actor = actor
+        self.loss_module = DDPGLoss(actor, qvalue, gamma=gamma)
+        self.updater = SoftUpdate(tau=tau)
+        self.noise = AdditiveGaussianModule(
+            env.action_spec, sigma_init=sigma_init, sigma_end=sigma_end,
+            annealing_num_steps=sigma_anneal_iters,
+        )
+        self._noise_state = self.noise.init_state()
+
+        def policy(pstate, td, k):
+            td = actor(pstate["params"]["actor"], td)
+            return self.noise(pstate["noise"], td, k)
+
+        self.collector = Collector(
+            env, policy, frames_per_batch=frames_per_batch,
+            init_random_frames=init_random_frames,
+        )
+        key = jax.random.PRNGKey(seed)
+        _, td0 = env.reset(key)
+        example = jax.tree.map(
+            lambda x: jnp.asarray(x)[:1] if env.batch_size else jnp.asarray(x)[None], td0
+        )
+        self.params = self.loss_module.init(key, example)
+        self.tx = _split_optimizer(
+            self.params, {"actor": lr_actor, "qvalue": lr_critic,
+                          "target_actor": 0.0, "target_qvalue": 0.0}
+        )
+        self.opt_state = self.tx.init(self.params)
+
+    def _policy_state(self, params):
+        return TDict(params=params, noise=self._noise_state)
+
+    def _grad_and_update(self, params, opt_state, mb, k, idx):
+        grads = jax.grad(lambda p: self.loss_module(p, mb, k)[0])(params)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    def _post_update(self, params, idx=0):
+        params = params.set(
+            "target_qvalue", self.updater(params["target_qvalue"], params["qvalue"])
+        )
+        return params.set(
+            "target_actor", self.updater(params["target_actor"], params["actor"])
+        )
+
+    def train(self):
+        out = super().train()
+        return out
+
+    def _make_update(self):
+        base = super()._make_update()
+
+        def update(params, opt_state, rb_state, cstate, key):
+            out = base(params, opt_state, rb_state, cstate, key)
+            self._noise_state = self.noise.step(self._noise_state)
+            return out
+
+        return update
+
+
+class TD3Trainer(DDPGTrainer):
+    """TD3: twin critics, target smoothing, delayed actor + target updates
+    every ``policy_delay`` critic steps inside the fused utd scan
+    (reference trainers/algorithms/td3.py:149)."""
+
+    def __init__(self, env, actor, qvalue, *, action_low=-1.0, action_high=1.0,
+                 policy_delay: int = 2, policy_noise=0.2, noise_clip=0.5,
+                 gamma=0.99, tau=0.005, lr_actor=3e-4, lr_critic=3e-4, **kwargs):
+        from rl_tpu.objectives import TD3Loss
+
+        super().__init__(env, actor, qvalue, gamma=gamma, tau=tau,
+                         lr_actor=lr_actor, lr_critic=lr_critic, **kwargs)
+        self.policy_delay = int(policy_delay)
+        self.loss_module = TD3Loss(
+            actor, qvalue, action_low=action_low, action_high=action_high,
+            gamma=gamma, policy_noise=policy_noise, noise_clip=noise_clip,
+        )
+        key = jax.random.PRNGKey(self.seed)
+        _, td0 = env.reset(key)
+        example = jax.tree.map(
+            lambda x: jnp.asarray(x)[:1] if env.batch_size else jnp.asarray(x)[None], td0
+        )
+        self.params = self.loss_module.init(key, example)
+        # rebuild: the twin-critic tree differs from DDPG's single critic
+        self.tx = _split_optimizer(
+            self.params, {"actor": lr_actor, "qvalue": lr_critic,
+                          "target_actor": 0.0, "target_qvalue": 0.0}
+        )
+        self.opt_state = self.tx.init(self.params)
+
+    def _grad_and_update(self, params, opt_state, mb, k, idx):
+        # critic step every call; actor step masked to every policy_delay-th
+        grads = jax.grad(lambda p: self.loss_module(p, mb, k)[0])(params)
+        do_actor = (idx % self.policy_delay) == 0
+        grads = grads.set(
+            "actor",
+            jax.tree.map(lambda g: jnp.where(do_actor, g, jnp.zeros_like(g)),
+                         grads["actor"]),
+        )
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        # hold actor exactly still on non-actor steps (adam moments would
+        # otherwise produce a small drift from decayed momentum)
+        new_params = new_params.set(
+            "actor",
+            jax.tree.map(lambda a, b: jnp.where(do_actor, a, b),
+                         new_params["actor"], params["actor"]),
+        )
+        return new_params, opt_state
+
+    def _post_update(self, params, idx=0):
+        # targets track only on delayed steps (Fujimoto et al. cadence)
+        do = (idx % self.policy_delay) == 0
+        new_q = self.updater(params["target_qvalue"], params["qvalue"])
+        new_a = self.updater(params["target_actor"], params["actor"])
+        sel = lambda n, o: jax.tree.map(lambda x, y: jnp.where(do, x, y), n, o)
+        return params.set("target_qvalue", sel(new_q, params["target_qvalue"])) \
+                     .set("target_actor", sel(new_a, params["target_actor"]))
+
+
+class OfflineTrainer(_TrainerBase):
+    """Offline RL over a fixed flat [N] dataset TDict: jit-fused chunks of
+    uniform-minibatch gradient steps (reference offline sota scripts / the
+    IQL/CQL trainer classes, trainers/algorithms/)."""
+
+    def __init__(self, dataset, loss_module, *, batch_size=256,
+                 gradient_steps=50_000, steps_per_chunk=100, lr=3e-4,
+                 needs_key: bool = True, tau: float = 0.005,
+                 target_keys=(("target_qvalue", "qvalue"),), seed=0,
+                 **base_kwargs):
+        super().__init__(**base_kwargs)
+        self.dataset = dataset
+        self.loss_module = loss_module
+        self.batch_size = int(batch_size)
+        self.gradient_steps = int(gradient_steps)
+        self.steps_per_chunk = int(steps_per_chunk)
+        self.needs_key = needs_key
+        self.target_keys = [(t, s) for t, s in target_keys]
+        self.updater = SoftUpdate(tau=tau)
+        self._key = jax.random.PRNGKey(seed)
+        example = jax.tree.map(lambda x: jnp.asarray(x)[:1], dataset)
+        self.params = loss_module.init(jax.random.PRNGKey(seed), example)
+        self.tx = optax.adam(lr)
+        self.opt_state = self.tx.init(self.params)
+        self._n = int(jnp.asarray(jax.tree.leaves(dataset)[0]).shape[0])
+        self._chunk = jax.jit(self._chunk_impl)
+
+    def _chunk_impl(self, params, opt_state, key):
+        def step(carry, k):
+            params, opt_state = carry
+            k_idx, k_loss = jax.random.split(k)
+            idx = jax.random.randint(k_idx, (self.batch_size,), 0, self._n)
+            mb = jax.tree.map(lambda x: x[idx], self.dataset)
+            if self.needs_key:
+                fn = lambda p: self.loss_module(p, mb, k_loss)[0]
+            else:
+                fn = lambda p: self.loss_module(p, mb)[0]
+            total, grads = jax.value_and_grad(fn)(params)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            for tgt, src in self.target_keys:
+                if tgt in params:
+                    params = params.set(tgt, self.updater(params[tgt], params[src]))
+            return (params, opt_state), total
+
+        (params, opt_state), losses = jax.lax.scan(
+            step, (params, opt_state), jax.random.split(key, self.steps_per_chunk)
+        )
+        return params, opt_state, losses.mean()
+
+    def train(self):
+        done_steps = 0
+        it = 0
+        while done_steps < self.gradient_steps:
+            self._key, k = jax.random.split(self._key)
+            self.params, self.opt_state, loss = self._chunk(
+                self.params, self.opt_state, k
+            )
+            done_steps += self.steps_per_chunk
+            self._log({"train/loss": float(loss)}, step=done_steps)
+            self._key, k = jax.random.split(self._key)
+            self._maybe_eval_and_save(it, self.params, k, done_steps)
+            it += 1
+        return self.params
+
+
+class IQLTrainer(OfflineTrainer):
+    """Reference trainers/algorithms/iql.py — expectile IQL on a dataset."""
+
+    def __init__(self, dataset, actor, qvalue, value, *, gamma=0.99,
+                 expectile=0.7, temperature=3.0, **kwargs):
+        from rl_tpu.objectives import IQLLoss
+
+        loss = IQLLoss(actor, qvalue, value, gamma=gamma, expectile=expectile,
+                       temperature=temperature)
+        super().__init__(dataset, loss, **kwargs)
+
+
+class CQLTrainer(OfflineTrainer):
+    """Reference trainers/algorithms/cql.py — conservative Q-learning."""
+
+    def __init__(self, dataset, actor, qvalue, *, action_dim,
+                 action_low=-1.0, action_high=1.0, cql_alpha=1.0,
+                 gamma=0.99, **kwargs):
+        from rl_tpu.objectives import CQLLoss
+
+        loss = CQLLoss(actor, qvalue, action_low=action_low,
+                       action_high=action_high, cql_alpha=cql_alpha,
+                       gamma=gamma, action_dim=action_dim)
+        super().__init__(dataset, loss, **kwargs)
+
+
+class TD3BCTrainer(OfflineTrainer):
+    """TD3+BC offline (reference objectives/td3_bc.py:27 + sota script)."""
+
+    def __init__(self, dataset, actor, qvalue, *, action_low=-1.0,
+                 action_high=1.0, alpha_bc=2.5, gamma=0.99, **kwargs):
+        from rl_tpu.objectives import TD3BCLoss
+
+        loss = TD3BCLoss(actor, qvalue, action_low=action_low,
+                         action_high=action_high, alpha_bc=alpha_bc, gamma=gamma)
+        super().__init__(
+            dataset, loss,
+            target_keys=(("target_qvalue", "qvalue"), ("target_actor", "actor")),
+            **kwargs,
+        )
+
+
+class OfflineToOnlineTrainer(_TrainerBase):
+    """Offline pretrain then online fine-tune with mixed offline/online
+    minibatches (reference trainers/algorithms/offline_to_online.py:149,
+    data/replay_buffers/offline_to_online.py:14)."""
+
+    def __init__(self, dataset, online_trainer: _OffPolicyTrainer, *,
+                 pretrain_steps=10_000, mix_ratio: float = 0.5, **base_kwargs):
+        super().__init__(**base_kwargs)
+        self.dataset = dataset
+        self.online = online_trainer
+        self.pretrain_steps = int(pretrain_steps)
+        self.mix_ratio = float(mix_ratio)
+
+    def train(self):
+        # 1) offline pretrain on the dataset with the online trainer's loss
+        pre = OfflineTrainer(
+            self.dataset, self.online.loss_module,
+            batch_size=self.online.batch_size,
+            gradient_steps=self.pretrain_steps, logger=self.logger,
+        )
+        pre.params = self.online.params
+        pre.opt_state = pre.tx.init(pre.params)
+        self.online.params = pre.train()
+        # 2) online fine-tune; the replay buffer is seeded with offline data
+        n_seed = min(self.online.rb.storage.capacity,
+                     int(jnp.asarray(jax.tree.leaves(self.dataset)[0]).shape[0]))
+        seed_batch = jax.tree.map(lambda x: x[:n_seed], self.dataset)
+        self.online._seed_batch = seed_batch
+        return self.online.train()

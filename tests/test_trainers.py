@@ -237,3 +237,115 @@ class TestEvaluator:
                        max_steps=50, logger=lg)
         ev.evaluate(params, key, step=1)
         assert lg.read_scalar("eval/reward_mean")
+
+
+class TestMoreAlgoTrainers:
+    def _cont_pieces(self):
+        env = TransformedEnv(BatchedEnv(PendulumEnv(), 4), RewardScaling(scale=0.1))
+        from rl_tpu.modules import TanhModule
+        actor = Seq(
+            TDModule(MLP(out_features=1, num_cells=(16,)), ["observation"], ["param"]),
+            TanhModule(["param"], ["action"], low=-2.0, high=2.0),
+        )
+        qvalue = TDModule(MLP(out_features=1, num_cells=(16,)),
+                          ["observation", "action"], ["state_action_value"])
+        return env, actor, qvalue
+
+    def test_ddpg_trainer_runs(self, key):
+        from rl_tpu.trainers import DDPGTrainer
+        env, actor, qvalue = self._cont_pieces()
+        t = DDPGTrainer(env, actor, qvalue, frames_per_batch=32, total_frames=128,
+                        batch_size=32, utd=2, buffer_capacity=1000,
+                        init_random_frames=0)
+        params = t.train()
+        assert "target_actor" in params
+
+    def test_td3_trainer_runs(self, key):
+        from rl_tpu.trainers import TD3Trainer
+        env, actor, qvalue = self._cont_pieces()
+        t = TD3Trainer(env, actor, qvalue, action_low=-2.0, action_high=2.0,
+                       policy_delay=2, frames_per_batch=32, total_frames=128,
+                       batch_size=32, utd=4, buffer_capacity=1000,
+                       init_random_frames=0)
+        p0_actor = jax.tree.leaves(t.params["actor"])[0].copy()
+        params = t.train()
+        # twin critics present and actor moved
+        assert jax.tree.leaves(params["qvalue"])[0].shape[0] == 2
+        assert not np.allclose(np.asarray(jax.tree.leaves(params["actor"])[0]),
+                               np.asarray(p0_actor))
+
+    def _dataset(self, key, n=96):
+        env = BatchedEnv(PendulumEnv(), 4)
+        coll = Collector(
+            env,
+            lambda p, td, k: td.set("action", env.action_spec.rand(k, (4,))),
+            frames_per_batch=n,
+        )
+        cstate = coll.init(key)
+        _, batch = coll.collect(TDict(), cstate)
+        return batch.apply(lambda x: x.reshape((-1,) + x.shape[2:]))
+
+    def test_iql_trainer_runs(self, key):
+        from rl_tpu.trainers import IQLTrainer
+        ds = self._dataset(key)
+        net = Seq(
+            TDModule(MLP(out_features=2, num_cells=(16,)), ["observation"], ["pre"]),
+            TDModule(NormalParamExtractor(), ["pre"], ["loc", "scale"]),
+        )
+        actor = ProbabilisticActor(net, TanhNormal, dist_kwargs={"low": -2.0, "high": 2.0})
+        qvalue = TDModule(MLP(out_features=1, num_cells=(16,)),
+                          ["observation", "action"], ["state_action_value"])
+        value = ValueOperator(MLP(out_features=1, num_cells=(16,)))
+        t = IQLTrainer(ds, actor, qvalue, value, batch_size=32,
+                       gradient_steps=20, steps_per_chunk=10)
+        params = t.train()
+        assert "value" in params and "target_qvalue" in params
+
+    def test_cql_trainer_runs(self, key):
+        from rl_tpu.trainers import CQLTrainer
+        ds = self._dataset(key)
+        net = Seq(
+            TDModule(MLP(out_features=2, num_cells=(16,)), ["observation"], ["pre"]),
+            TDModule(NormalParamExtractor(), ["pre"], ["loc", "scale"]),
+        )
+        actor = ProbabilisticActor(net, TanhNormal, dist_kwargs={"low": -2.0, "high": 2.0})
+        qvalue = TDModule(MLP(out_features=1, num_cells=(16,)),
+                          ["observation", "action"], ["state_action_value"])
+        t = CQLTrainer(ds, actor, qvalue, action_dim=1, action_low=-2.0,
+                       action_high=2.0, batch_size=32, gradient_steps=10,
+                       steps_per_chunk=5)
+        params = t.train()
+        assert "log_alpha" in params
+
+    def test_td3bc_trainer_runs(self, key):
+        from rl_tpu.trainers import TD3BCTrainer
+        ds = self._dataset(key)
+        from rl_tpu.modules import TanhModule
+        actor = Seq(
+            TDModule(MLP(out_features=1, num_cells=(16,)), ["observation"], ["param"]),
+            TanhModule(["param"], ["action"], low=-2.0, high=2.0),
+        )
+        qvalue = TDModule(MLP(out_features=1, num_cells=(16,)),
+                          ["observation", "action"], ["state_action_value"])
+        t = TD3BCTrainer(ds, actor, qvalue, action_low=-2.0, action_high=2.0,
+                         batch_size=32, gradient_steps=10, steps_per_chunk=5)
+        params = t.train()
+        assert "target_actor" in params
+
+    def test_offline_to_online(self, key):
+        from rl_tpu.trainers import OfflineToOnlineTrainer, SACTrainer
+        ds = self._dataset(key, n=64)
+        env = TransformedEnv(BatchedEnv(PendulumEnv(), 4), RewardScaling(scale=0.1))
+        net = Seq(
+            TDModule(MLP(out_features=2, num_cells=(16,)), ["observation"], ["pre"]),
+            TDModule(NormalParamExtractor(), ["pre"], ["loc", "scale"]),
+        )
+        actor = ProbabilisticActor(net, TanhNormal, dist_kwargs={"low": -2.0, "high": 2.0})
+        qvalue = TDModule(MLP(out_features=1, num_cells=(16,)),
+                          ["observation", "action"], ["state_action_value"])
+        online = SACTrainer(env, actor, qvalue, action_dim=1, frames_per_batch=32,
+                            total_frames=96, batch_size=32, utd=1,
+                            buffer_capacity=1000, init_random_frames=0)
+        t = OfflineToOnlineTrainer(ds, online, pretrain_steps=10)
+        params = t.train()
+        assert "log_alpha" in params
