@@ -1,3 +1,9 @@
 from .collector import Collector, split_trajectories
+from .multiproc import MultiSyncCollector, MultiAsyncCollector
 
-__all__ = ["Collector", "split_trajectories"]
+__all__ = [
+    "Collector",
+    "split_trajectories",
+    "MultiSyncCollector",
+    "MultiAsyncCollector",
+]

@@ -317,6 +317,14 @@ class TDict:
     def __setattr__(self, name: str, value: Any) -> None:
         raise AttributeError("TDict is immutable; use .set(key, value)")
 
+    # pickle support: __slots__ + blocked __setattr__ break the default
+    # protocol, so restore _data via object.__setattr__ explicitly
+    def __getstate__(self) -> dict:
+        return {"_data": self._data}
+
+    def __setstate__(self, state: dict) -> None:
+        object.__setattr__(self, "_data", state["_data"])
+
 
 def _tdict_flatten_with_keys(td: TDict):
     keys = tuple(sorted(td._data.keys()))

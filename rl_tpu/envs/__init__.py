@@ -7,6 +7,8 @@ from .classic import (
     ContinuousMountainCarEnv,
 )
 from .wrappers import FrameSkipEnv, NoopResetEnv
+from .env_creator import EnvCreator, env_creator
+from .async_pool import AsyncEnvPool, ThreadingAsyncEnvPool, ProcessAsyncEnvPool
 from . import transforms
 from .transforms import Transform, Compose, TransformedEnv
 from .minatar import BreakoutEnv
@@ -26,6 +28,11 @@ __all__ = [
     "ContinuousMountainCarEnv",
     "FrameSkipEnv",
     "NoopResetEnv",
+    "EnvCreator",
+    "env_creator",
+    "AsyncEnvPool",
+    "ThreadingAsyncEnvPool",
+    "ProcessAsyncEnvPool",
     "transforms",
     "Transform",
     "Compose",

@@ -155,3 +155,13 @@ class TestPytree:
         flat, _ = jax.tree_util.tree_flatten_with_path(td)
         paths = {jax.tree_util.keystr(p) for p, _ in flat}
         assert "['next']['reward']" in paths
+
+
+class TestPickle:
+    def test_roundtrip(self):
+        import pickle
+
+        td = TDict(a=jnp.ones((2,)), nested=TDict(b=jnp.zeros((3,))))
+        out = pickle.loads(pickle.dumps(jax.device_get(td)))
+        assert np.asarray(out["a"]).shape == (2,)
+        assert np.asarray(out["nested", "b"]).shape == (3,)
