@@ -165,17 +165,21 @@ class Collector:
             key = jax.random.PRNGKey(0)
         self._stop_event = threading.Event()
         self._pause_event = threading.Event()
+        self._idle_event = threading.Event()
         self.frames_collected = 0
 
         def loop():
+            import time
+
             cstate = self.init(key)
             while not self._stop_event.is_set():
                 if self._pause_event.is_set():
-                    self._pause_event.wait(timeout=0.05)
-                    import time
-
+                    # Acknowledge the pause only once no batch is in flight,
+                    # so pause() can block until progress truly stops.
+                    self._idle_event.set()
                     time.sleep(0.01)
                     continue
+                self._idle_event.clear()
                 cstate, batch = self.collect(self._params, cstate)
                 if flatten:
                     batch = batch.apply(lambda x: x.reshape((-1,) + x.shape[2:]))
@@ -190,9 +194,15 @@ class Collector:
         self._thread.start()
 
     def pause(self) -> None:
+        """Stop collection; blocks until the in-flight batch has landed so
+        ``frames_collected`` is stable on return (reference _single.py pause
+        semantics: workers park at a barrier before ack)."""
         self._pause_event.set()
+        if getattr(self, "_thread", None) is not None and self._thread.is_alive():
+            self._idle_event.wait(timeout=30.0)
 
     def resume(self) -> None:
+        self._idle_event.clear()
         self._pause_event.clear()
 
     def async_shutdown(self, timeout: float = 10.0) -> None:

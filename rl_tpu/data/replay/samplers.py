@@ -28,6 +28,10 @@ __all__ = [
     "SliceSamplerWithoutReplacement",
     "PrioritizedSliceSampler",
     "HostPrioritizedSampler",
+    "ConsumingSampler",
+    "StalenessAwareSampler",
+    "PromptGroupSampler",
+    "SamplerEnsemble",
 ]
 
 
@@ -358,3 +362,163 @@ class PrioritizedSliceSampler(SliceSampler):
             mask=valid.reshape(-1), _weight=weights,
             slice_shape=jnp.asarray([n, L]), end_index=ends,
         )
+
+
+class ConsumingSampler:
+    """FIFO queue semantics: every item is sampled at most once, in write
+    order (reference samplers.py:228 ``ConsumingSampler`` — used for
+    off-policy pipelines where each transition is trained on exactly once).
+
+    Static-shape design: state holds an absolute read cursor and a count of
+    total items written; ``sample`` returns the next ``batch_size`` ring
+    positions plus a ``mask`` marking which of them actually hold unconsumed
+    data (all-False when the queue is drained — the caller can mask the loss
+    instead of branching).
+    """
+
+    def __init__(self, capacity: int):
+        self.capacity = int(capacity)
+
+    def init(self) -> TDict:
+        return TDict(read=jnp.zeros((), jnp.int32),
+                     written=jnp.zeros((), jnp.int32))
+
+    def extend(self, sstate: TDict, idx) -> TDict:
+        n = jnp.asarray(idx).reshape(-1).shape[0]
+        written = sstate["written"] + n
+        # an overwriting ring push discards unread items that were lapped
+        read = jnp.maximum(sstate["read"], written - self.capacity)
+        return TDict(read=read, written=written)
+
+    def sample(self, sstate: TDict, size, batch_size: int, key):
+        avail = sstate["written"] - sstate["read"]
+        offs = jnp.arange(batch_size, dtype=jnp.int32)
+        mask = offs < avail
+        idx = ((sstate["read"] + offs) % self.capacity).astype(jnp.int32)
+        consumed = jnp.minimum(avail, batch_size)
+        sstate = sstate.set("read", sstate["read"] + consumed)
+        return sstate, idx, TDict(mask=mask)
+
+    def update_priority(self, sstate, idx, priority) -> TDict:
+        return sstate
+
+
+class StalenessAwareSampler:
+    """Uniform sampling restricted to items whose policy-version staleness
+    is within a bound (reference samplers.py:735 ``StalenessAwareSampler``).
+
+    ``extend`` stamps written items with the current policy version;
+    ``bump_version`` advances it (call once per learner update).  ``sample``
+    draws uniformly over items with ``version_now - version_item <=
+    max_staleness`` via a masked categorical — fully inside jit.
+    """
+
+    def __init__(self, capacity: int, max_staleness: int = 2):
+        self.capacity = int(capacity)
+        self.max_staleness = int(max_staleness)
+
+    def init(self) -> TDict:
+        return TDict(
+            item_version=jnp.full((self.capacity,), -(2**30), jnp.int32),
+            version=jnp.zeros((), jnp.int32),
+        )
+
+    def bump_version(self, sstate: TDict, n: int = 1) -> TDict:
+        return sstate.set("version", sstate["version"] + n)
+
+    def extend(self, sstate: TDict, idx) -> TDict:
+        iv = sstate["item_version"].at[jnp.asarray(idx).reshape(-1)].set(
+            sstate["version"]
+        )
+        return sstate.set("item_version", iv)
+
+    def sample(self, sstate: TDict, size, batch_size: int, key):
+        stale = sstate["version"] - sstate["item_version"]
+        valid = (jnp.arange(self.capacity) < size) & (stale <= self.max_staleness)
+        logits = jnp.where(valid, 0.0, -jnp.inf)
+        # degenerate all-stale case: fall back to uniform over [0, size)
+        any_valid = jnp.any(valid)
+        logits = jnp.where(
+            any_valid, logits, jnp.where(jnp.arange(self.capacity) < size, 0.0, -jnp.inf)
+        )
+        idx = jax.random.categorical(key, logits, shape=(batch_size,)).astype(jnp.int32)
+        return sstate, idx, TDict(staleness=stale[idx])
+
+    def update_priority(self, sstate, idx, priority) -> TDict:
+        return sstate
+
+
+class PromptGroupSampler:
+    """Sample whole prompt groups of ``group_size`` consecutive items
+    (reference samplers.py:3576 ``PromptGroupSampler`` — the GRPO sampler:
+    group-relative advantages need every completion of a prompt together).
+
+    Assumes the writer lays groups out contiguously (the GRPO collector
+    writes G completions per prompt back-to-back), so group g occupies
+    ``[g*G, (g+1)*G)``.  ``batch_size`` must be a multiple of ``group_size``.
+    """
+
+    def __init__(self, capacity: int, group_size: int):
+        if capacity % group_size:
+            raise ValueError("capacity must be a multiple of group_size")
+        self.capacity = int(capacity)
+        self.group_size = int(group_size)
+
+    def init(self) -> TDict:
+        return TDict()
+
+    def extend(self, sstate: TDict, idx) -> TDict:
+        return sstate
+
+    def sample(self, sstate: TDict, size, batch_size: int, key):
+        G = self.group_size
+        n_groups = batch_size // G
+        avail_groups = jnp.maximum(size // G, 1)
+        g = jax.random.randint(key, (n_groups,), 0, avail_groups)
+        idx = (g[:, None] * G + jnp.arange(G, dtype=jnp.int32)[None, :]).reshape(-1)
+        return sstate, idx.astype(jnp.int32), TDict(group_ids=jnp.repeat(g, G))
+
+    def update_priority(self, sstate, idx, priority) -> TDict:
+        return sstate
+
+
+class SamplerEnsemble:
+    """Dispatch over sub-samplers, one per sub-storage (reference
+    samplers.py:3992 ``SamplerEnsemble``).  Host-side composition — pairs
+    with :class:`~rl_tpu.data.replay.storages.StorageEnsemble` /
+    ``ReplayBufferEnsemble``; ``sample`` picks sub-sampler ``buffer_id`` and
+    delegates."""
+
+    def __init__(self, *samplers, p=None):
+        self.samplers = list(samplers)
+        self.p = p
+
+    def init(self):
+        return [s.init() for s in self.samplers]
+
+    def extend(self, sstate, buffer_id: int, idx):
+        sstate = list(sstate)
+        sstate[buffer_id] = self.samplers[buffer_id].extend(sstate[buffer_id], idx)
+        return sstate
+
+    def sample(self, sstate, sizes, batch_size: int, key, buffer_id=None):
+        if buffer_id is None:
+            kb, key = jax.random.split(key)
+            p = self.p
+            if p is None:
+                p = [1.0 / len(self.samplers)] * len(self.samplers)
+            p = jnp.asarray(p) / jnp.sum(jnp.asarray(p))
+            buffer_id = int(jax.random.choice(kb, len(self.samplers), p=p))
+        sub, idx, info = self.samplers[buffer_id].sample(
+            sstate[buffer_id], sizes[buffer_id], batch_size, key
+        )
+        sstate = list(sstate)
+        sstate[buffer_id] = sub
+        return sstate, idx, info.set("buffer_ids", jnp.full((batch_size,), buffer_id))
+
+    def update_priority(self, sstate, buffer_id: int, idx, priority):
+        sstate = list(sstate)
+        sstate[buffer_id] = self.samplers[buffer_id].update_priority(
+            sstate[buffer_id], idx, priority
+        )
+        return sstate

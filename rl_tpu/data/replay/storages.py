@@ -21,7 +21,17 @@ import numpy as np
 
 from rl_tpu.data.tdict import TDict
 
-__all__ = ["TensorStorage", "LazyTensorStorage", "ListStorage", "LazyMemmapStorage"]
+__all__ = [
+    "TensorStorage",
+    "LazyTensorStorage",
+    "ListStorage",
+    "LazyMemmapStorage",
+    "LazyStackStorage",
+    "CompressedListStorage",
+    "StorageEnsemble",
+    "save_storage",
+    "load_storage",
+]
 
 
 class TensorStorage:
@@ -157,3 +167,152 @@ class LazyMemmapStorage:
     def flush(self):
         for buf in (self._buffers or {}).values():
             buf.flush()
+
+
+class LazyStackStorage(ListStorage):
+    """Host list storage whose ``get`` pad-stacks ragged TDict items into one
+    dense batch + mask (reference storages.py:563 ``LazyStackStorage`` — the
+    lazy-stacked TensorDict path).  TPU design: ragged data must become
+    padded-dense before it can touch the device, so stacking IS padding."""
+
+    def get(self, state, idx):
+        items = super().get(state, idx)
+        if not items:
+            return TDict()
+        if not isinstance(items[0], (dict, TDict)):
+            return _pad_stack_arrays([np.asarray(x) for x in items])
+        keys = list(TDict(items[0]).items(include_nested=True, leaves_only=True))
+        out = TDict()
+        for kk, _ in keys:
+            kk = kk if isinstance(kk, tuple) else (kk,)
+            arrs = [np.asarray(TDict(it)[kk]) for it in items]
+            stacked, mask = _pad_stack_arrays(arrs, with_mask=True)
+            out = out.set(kk, jnp.asarray(stacked))
+            if mask is not None:
+                out = out.set(kk[:-1] + ("masks", kk[-1]), jnp.asarray(mask))
+        return out
+
+
+def _pad_stack_arrays(arrs, with_mask: bool = False):
+    """Right-pad a list of ndarrays to a common shape and stack."""
+    shapes = np.array([a.shape for a in arrs]) if arrs[0].ndim else None
+    if shapes is None or (shapes == shapes[0]).all():
+        out = np.stack(arrs)
+        return (out, None) if with_mask else out
+    target = shapes.max(axis=0)
+    out = np.zeros((len(arrs), *target), dtype=arrs[0].dtype)
+    mask = np.zeros((len(arrs), *target), dtype=bool)
+    for i, a in enumerate(arrs):
+        sl = (i,) + tuple(slice(0, s) for s in a.shape)
+        out[sl] = a
+        mask[sl] = True
+    return (out, mask) if with_mask else out
+
+
+class CompressedListStorage(ListStorage):
+    """Host list storage compressing each item with zlib (reference
+    storages.py:1953 ``CompressedListStorage`` — cold replay in host RAM at
+    a fraction of the footprint; decompression on sample).  Leaves are
+    compressed individually so gets can stay partial."""
+
+    def __init__(self, capacity: int = 2**32, level: int = 1):
+        super().__init__(capacity)
+        self.level = int(level)
+
+    def _compress(self, item):
+        import zlib
+
+        td = TDict(item) if isinstance(item, (dict, TDict)) else None
+        if td is None:
+            a = np.ascontiguousarray(np.asarray(item))
+            return ("__leaf__", a.dtype.str, a.shape, zlib.compress(a.tobytes(), self.level))
+        packed = {}
+        for kk, v in td.items(include_nested=True, leaves_only=True):
+            kk = kk if isinstance(kk, tuple) else (kk,)
+            a = np.ascontiguousarray(np.asarray(v))
+            packed[kk] = (a.dtype.str, a.shape, zlib.compress(a.tobytes(), self.level))
+        return packed
+
+    def _decompress(self, packed):
+        import zlib
+
+        if isinstance(packed, tuple) and packed and packed[0] == "__leaf__":
+            _, dt, shape, blob = packed
+            return np.frombuffer(zlib.decompress(blob), dtype=np.dtype(dt)).reshape(shape)
+        out = TDict()
+        for kk, (dt, shape, blob) in packed.items():
+            a = np.frombuffer(zlib.decompress(blob), dtype=np.dtype(dt)).reshape(shape)
+            out = out.set(kk, jnp.asarray(a))
+        return out
+
+    def set(self, state, idx, items):
+        items = items if isinstance(items, (list, tuple)) else [items]
+        return super().set(state, idx, [self._compress(it) for it in items])
+
+    def get(self, state, idx):
+        return [self._decompress(p) for p in super().get(state, idx)]
+
+    def bytes(self) -> int:
+        """Compressed footprint in bytes (reference exposes memory stats)."""
+        total = 0
+        for packed in self._data:
+            vals = [packed[3]] if isinstance(packed, tuple) else [
+                v[2] for v in packed.values()
+            ]
+            total += sum(len(b) for b in vals)
+        return total
+
+
+class StorageEnsemble:
+    """A tuple of storages addressed by ``(buffer_id, idx)`` (reference
+    storages.py:2266 ``StorageEnsemble``).  Host-level composition used by
+    ``ReplayBufferEnsemble``; sub-storages may be heterogeneous."""
+
+    def __init__(self, *storages, transforms=None):
+        self.storages = list(storages)
+        self.transforms = transforms or [None] * len(self.storages)
+        self.capacity = sum(getattr(s, "capacity", 0) for s in self.storages)
+
+    def init(self, examples):
+        return [s.init(ex) for s, ex in zip(self.storages, examples)]
+
+    def set(self, state, buffer_id: int, idx, items):
+        state = list(state)
+        state[buffer_id] = self.storages[buffer_id].set(state[buffer_id], idx, items)
+        return state
+
+    def get(self, state, buffer_id: int, idx):
+        out = self.storages[buffer_id].get(state[buffer_id], idx)
+        t = self.transforms[buffer_id]
+        return t(out) if t is not None else out
+
+    def size(self, state):
+        return [s.size(st) for s, st in zip(self.storages, state)]
+
+    def __getitem__(self, i):
+        return self.storages[i]
+
+    def __len__(self):
+        return len(self.storages)
+
+
+# -- storage checkpointers (reference replay_buffers/checkpointers.py) -------
+
+def save_storage(state: TDict, path: str) -> None:
+    """Flat-layout storage checkpoint (reference ``FlatStorageCheckpointer``
+    checkpointers.py:1-651): every leaf of the storage state dumped into one
+    ``.npz`` keyed by '/'-joined nested keys."""
+    flat = {}
+    for kk, v in TDict(state).items(include_nested=True, leaves_only=True):
+        kk = kk if isinstance(kk, tuple) else (kk,)
+        flat["/".join(kk)] = np.asarray(v)
+    np.savez_compressed(path, **flat)
+
+
+def load_storage(path: str) -> TDict:
+    """Inverse of :func:`save_storage`."""
+    out = TDict()
+    with np.load(path) as z:
+        for k in z.files:
+            out = out.set(tuple(k.split("/")), jnp.asarray(z[k]))
+    return out

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from rl_tpu.data.tdict import TDict
 
-__all__ = ["RoundRobinWriter", "MaxValueWriter", "ImmutableDatasetWriter"]
+__all__ = ["RoundRobinWriter", "MaxValueWriter", "ImmutableDatasetWriter", "WriterEnsemble"]
 
 
 class RoundRobinWriter:
@@ -89,3 +89,25 @@ class ImmutableDatasetWriter:
         raise RuntimeError("ImmutableDatasetWriter: dataset is read-only")
 
     add = extend
+
+
+class WriterEnsemble:
+    """One writer per sub-storage (reference writers.py:736
+    ``WriterEnsemble``) — dispatches ``extend`` by ``buffer_id``."""
+
+    def __init__(self, *writers):
+        self.writers = list(writers)
+
+    def init(self):
+        return [w.init() for w in self.writers]
+
+    def extend(self, wstate, buffer_id: int, n: int):
+        wstate = list(wstate)
+        wstate[buffer_id], idx = self.writers[buffer_id].extend(wstate[buffer_id], n)
+        return wstate, idx
+
+    def __getitem__(self, i):
+        return self.writers[i]
+
+    def __len__(self):
+        return len(self.writers)
