@@ -8,6 +8,7 @@ from .common import (
     distance_loss,
 )
 from .ppo import PPOLoss, ClipPPOLoss, KLPENPPOLoss
+from .rnd import RNDLoss
 from .dqn import DQNLoss, DistributionalDQNLoss
 from .sac import SACLoss, DiscreteSACLoss
 from .ddpg import DDPGLoss
@@ -65,4 +66,5 @@ __all__ = [
     "GAE",
     "VTrace",
     "functional",
+    "RNDLoss",
 ]
