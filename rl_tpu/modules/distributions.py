@@ -26,6 +26,8 @@ __all__ = [
     "Categorical",
     "OneHotCategorical",
     "MaskedCategorical",
+    "MaskedOneHotCategorical",
+    "LLMMaskedCategorical",
     "Ordinal",
 ]
 
@@ -339,3 +341,67 @@ class Ordinal(Categorical):
         rev_cum_smaller = jnp.flip(jnp.cumsum(jnp.flip(smaller, -1), axis=-1), -1)
         tail_smaller = rev_cum_smaller - smaller
         super().__init__(logits=cum_larger + tail_smaller)
+
+
+class MaskedOneHotCategorical(MaskedCategorical):
+    """One-hot-encoded masked categorical (reference discrete.py:437):
+    samples/modes are one-hot vectors, log_prob accepts one-hot values."""
+
+    def sample(self, key, sample_shape=()):
+        idx = super().sample(key, sample_shape)
+        return jax.nn.one_hot(idx, self.logits.shape[-1], dtype=jnp.float32)
+
+    def log_prob(self, value):
+        return super().log_prob(jnp.argmax(jnp.asarray(value), -1))
+
+    @property
+    def mode(self):
+        return jax.nn.one_hot(
+            jnp.argmax(self.logits, -1), self.logits.shape[-1],
+            dtype=jnp.float32,
+        )
+
+    @property
+    def mean(self):
+        return self.probs
+
+
+class LLMMaskedCategorical(Distribution):
+    """Token-level masked categorical for LLM losses
+    (reference discrete.py:699).
+
+    Wraps [B, T, V] logits with a [B, T] validity mask (prompt/padding
+    positions excluded).  Unlike ``MaskedCategorical`` the mask is over
+    *positions*, not classes: ``log_prob`` returns 0 at masked positions so
+    sums over the sequence only count response tokens; ``entropy`` is
+    likewise masked.  Sampling at masked positions returns token 0.
+    """
+
+    def __init__(self, logits, mask):
+        self.logits = jnp.asarray(logits)
+        self.position_mask = jnp.asarray(mask, bool)
+
+    def _log_softmax(self):
+        return jax.nn.log_softmax(self.logits, -1)
+
+    def sample(self, key, sample_shape=()):
+        idx = jax.random.categorical(
+            key, self.logits, -1,
+            shape=tuple(sample_shape) + self.logits.shape[:-1],
+        )
+        return jnp.where(self.position_mask, idx, 0)
+
+    def log_prob(self, value):
+        logp = jnp.take_along_axis(
+            self._log_softmax(), jnp.asarray(value, jnp.int32)[..., None], -1
+        )[..., 0]
+        return jnp.where(self.position_mask, logp, 0.0)
+
+    def entropy(self):
+        logp = self._log_softmax()
+        ent = -jnp.sum(jnp.exp(logp) * logp, -1)
+        return jnp.where(self.position_mask, ent, 0.0)
+
+    @property
+    def mode(self):
+        return jnp.where(self.position_mask, jnp.argmax(self.logits, -1), 0)

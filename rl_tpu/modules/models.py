@@ -218,3 +218,98 @@ class BatchRenorm(nn.Module):
             ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * b_var
             steps.value = steps.value + 1
         return out * gamma + beta
+
+
+class Conv3dNet(nn.Module):
+    """3-D conv stack + flatten (reference models.py:572). NDHWC layout —
+    the TPU-native channel-last counterpart of the reference's NCDHW."""
+
+    channels: Sequence[int] = (32, 64, 64)
+    kernel_sizes: Sequence[int] = (3, 3, 3)
+    strides: Sequence[int] = (2, 2, 1)
+    activation: Any = "relu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        act = _resolve_activation(self.activation)
+        x = jnp.asarray(x, self.dtype)
+        lead = x.shape[:-4]
+        x = x.reshape((-1,) + x.shape[-4:])  # [N, D, H, W, C]
+        for ch, k, s in zip(self.channels, self.kernel_sizes, self.strides):
+            x = nn.Conv(ch, (k, k, k), strides=(s, s, s), padding="VALID",
+                        dtype=self.dtype)(x)
+            x = act(x)
+        return x.reshape(lead + (-1,))
+
+
+# ---------------------------------------------------------------------------
+# DDPG nets (reference models.py:1081-1401). The DDPG paper's specific
+# architecture: actions join the Q-net at the first hidden layer, conv
+# features are shared verbatim between pixel actor and critic.
+# ---------------------------------------------------------------------------
+
+
+class DdpgMlpActor(nn.Module):
+    """DDPG actor MLP (reference ``DdpgMlpActor`` models.py:1081)."""
+
+    action_dim: int
+    num_cells: Sequence[int] = (400, 300)
+    activation: Any = "relu"
+
+    @nn.compact
+    def __call__(self, obs) -> jax.Array:
+        act = _resolve_activation(self.activation)
+        x = jnp.asarray(obs, jnp.float32)
+        for w in self.num_cells:
+            x = act(nn.Dense(w)(x))
+        return nn.Dense(self.action_dim)(x)
+
+
+class DdpgMlpQNet(nn.Module):
+    """DDPG critic MLP (reference ``DdpgMlpQNet``): obs through the first
+    layer alone, action concatenated afterwards (the original architecture).
+    """
+
+    num_cells: Sequence[int] = (400, 300)
+    activation: Any = "relu"
+
+    @nn.compact
+    def __call__(self, obs, action) -> jax.Array:
+        act = _resolve_activation(self.activation)
+        x = act(nn.Dense(self.num_cells[0])(jnp.asarray(obs, jnp.float32)))
+        x = jnp.concatenate([x, jnp.asarray(action, jnp.float32)], -1)
+        for w in self.num_cells[1:]:
+            x = act(nn.Dense(w)(x))
+        return nn.Dense(1)(x)
+
+
+class DdpgCnnActor(nn.Module):
+    """DDPG pixel actor (reference ``DdpgCnnActor`` models.py:1204):
+    ConvNet trunk + MLP head. NHWC."""
+
+    action_dim: int
+    num_cells: Sequence[int] = (200, 200)
+    activation: Any = "relu"
+
+    @nn.compact
+    def __call__(self, pixels) -> jax.Array:
+        feat = ConvNet(activation=self.activation)(pixels)
+        return DdpgMlpActor(
+            action_dim=self.action_dim, num_cells=self.num_cells,
+            activation=self.activation,
+        )(feat)
+
+
+class DdpgCnnQNet(nn.Module):
+    """DDPG pixel critic (reference ``DdpgCnnQNet`` models.py:1301)."""
+
+    num_cells: Sequence[int] = (200, 200)
+    activation: Any = "relu"
+
+    @nn.compact
+    def __call__(self, pixels, action) -> jax.Array:
+        feat = ConvNet(activation=self.activation)(pixels)
+        return DdpgMlpQNet(
+            num_cells=self.num_cells, activation=self.activation
+        )(feat, action)

@@ -21,7 +21,10 @@ import jax.numpy as jnp
 
 from rl_tpu.data import TDict
 
-__all__ = ["ObsEncoder", "ObsDecoder", "RSSM", "rssm_observe", "rssm_imagine"]
+__all__ = [
+    "ObsEncoder", "ObsDecoder", "RSSM", "rssm_observe", "rssm_imagine",
+    "RSSMv3", "rssm_observe_v3", "rssm_imagine_v3",
+]
 
 
 class ObsEncoder(nn.Module):
@@ -179,3 +182,149 @@ def rssm_imagine(rssm: RSSM, params, policy_fn, h0, z0, horizon: int, key):
     ks = jax.random.split(key, horizon)
     _, (hs, zs, acts, rs) = jax.lax.scan(body, (h0, z0), ks)
     return TDict(h=hs, z=zs, action=acts, pred_reward=rs)
+
+
+# ---------------------------------------------------------------------------
+# DreamerV3: discrete (categorical) latent RSSM
+# (reference /root/reference/torchrl/modules/models/model_based_v3.py:
+#  RSSMPriorV3 :17, RSSMPosteriorV3 :161, RSSMRolloutV3 :257).
+# ---------------------------------------------------------------------------
+
+
+class RSSMv3(nn.Module):
+    """DreamerV3 RSSM: ``n_cats`` categorical latents with ``n_classes``
+    classes each, straight-through sampling and 1% uniform mixing (unimix)
+    on the latent distributions.
+
+    The stochastic state ``z`` is the flattened one-hot stack
+    ``[n_cats * n_classes]``.  Heads: reward as two-hot logits over
+    ``num_reward_bins`` symlog-spaced bins, and a continue (non-terminal)
+    logit — both the DreamerV3 scalar-prediction recipe.
+    """
+
+    action_dim: int
+    n_cats: int = 32
+    n_classes: int = 32
+    deter_dim: int = 256
+    hidden: int = 256
+    unimix: float = 0.01
+    num_reward_bins: int = 41
+
+    @property
+    def stoch_dim(self) -> int:
+        return self.n_cats * self.n_classes
+
+    def setup(self):
+        self.gru = nn.GRUCell(features=self.deter_dim)
+        self.pre_gru = nn.Sequential([nn.Dense(self.hidden), nn.LayerNorm(),
+                                      nn.silu])
+        self.prior_net = nn.Sequential([nn.Dense(self.hidden), nn.silu,
+                                        nn.Dense(self.stoch_dim)])
+        self.post_net = nn.Sequential([nn.Dense(self.hidden), nn.silu,
+                                       nn.Dense(self.stoch_dim)])
+        self.reward_net = nn.Sequential([nn.Dense(self.hidden), nn.silu,
+                                         nn.Dense(self.num_reward_bins)])
+        self.continue_net = nn.Sequential([nn.Dense(self.hidden), nn.silu,
+                                           nn.Dense(1)])
+
+    def _logits(self, raw):
+        """Apply unimix: mix 1% uniform into the categorical probs, return
+        the equivalent logits (DreamerV3 §"robustness")."""
+        raw = raw.reshape(raw.shape[:-1] + (self.n_cats, self.n_classes))
+        probs = jax.nn.softmax(raw, -1)
+        probs = (1 - self.unimix) * probs + self.unimix / self.n_classes
+        return jnp.log(probs)
+
+    def _sample(self, logits, key):
+        """Straight-through one-hot sample, flattened to [.., stoch_dim]."""
+        idx = jax.random.categorical(key, logits, -1)
+        one_hot = jax.nn.one_hot(idx, self.n_classes, dtype=logits.dtype)
+        probs = jax.nn.softmax(logits, -1)
+        st = one_hot + probs - jax.lax.stop_gradient(probs)
+        return st.reshape(st.shape[:-2] + (self.stoch_dim,))
+
+    def step_prior(self, h, z, action, key):
+        x = self.pre_gru(jnp.concatenate([z, jnp.asarray(action)], -1))
+        h, _ = self.gru(h, x)
+        logits = self._logits(self.prior_net(h))
+        z = self._sample(logits, key)
+        return h, z, logits
+
+    def posterior(self, h, embed, key):
+        logits = self._logits(self.post_net(jnp.concatenate([h, embed], -1)))
+        return self._sample(logits, key), logits
+
+    def reward_logits(self, h, z):
+        return self.reward_net(jnp.concatenate([h, z], -1))
+
+    def continue_logit(self, h, z):
+        return self.continue_net(jnp.concatenate([h, z], -1))
+
+    def __call__(self, h, z, action, embed, key):
+        """Used for init: one observe step touching every head."""
+        k1, k2 = jax.random.split(key)
+        h, _, prior_logits = self.step_prior(h, z, action, k1)
+        z_post, post_logits = self.posterior(h, embed, k2)
+        r = self.reward_logits(h, z_post)
+        c = self.continue_logit(h, z_post)
+        return h, z_post, prior_logits, post_logits, r, c
+
+
+def rssm_observe_v3(rssm: RSSMv3, params, embeds, actions, is_first, key,
+                    h0=None, z0=None):
+    """Filter a [T, B] sequence through the v3 RSSM (lax.scan).
+
+    Returns h, z, prior/posterior logits, reward logits and continue
+    logits, all [T, B, ...]; ``is_first`` zeroes the carried state.
+    """
+    T, B = embeds.shape[0], embeds.shape[1]
+    h = h0 if h0 is not None else jnp.zeros((B, rssm.deter_dim))
+    z = z0 if z0 is not None else jnp.zeros((B, rssm.stoch_dim))
+
+    def body(carry, xs):
+        h, z = carry
+        embed_t, act_t, first_t, k = xs
+        mask = jnp.asarray(first_t, jnp.float32).reshape(B, 1)
+        h = h * (1 - mask)
+        z = z * (1 - mask)
+        act_t = jnp.asarray(act_t) * (1 - mask)
+        k1, k2 = jax.random.split(k)
+        h, _, prior_l = rssm.apply(
+            {"params": params}, h, z, act_t, k1, method=RSSMv3.step_prior
+        )
+        z, post_l = rssm.apply(
+            {"params": params}, h, embed_t, k2, method=RSSMv3.posterior
+        )
+        r = rssm.apply({"params": params}, h, z, method=RSSMv3.reward_logits)
+        c = rssm.apply({"params": params}, h, z, method=RSSMv3.continue_logit)
+        return (h, z), (h, z, prior_l, post_l, r, c)
+
+    ks = jax.random.split(key, T)
+    (h, z), (hs, zs, pl, ql, r, c) = jax.lax.scan(
+        body, (h, z), (embeds, actions, is_first, ks)
+    )
+    return TDict(h=hs, z=zs, prior_logits=pl, post_logits=ql,
+                 reward_logits=r, continue_logits=c,
+                 final={"h": h, "z": z})
+
+
+def rssm_imagine_v3(rssm: RSSMv3, params, policy_fn, h0, z0, horizon: int,
+                    key):
+    """Prior-only imagination rollout: [H, N, ...] latents, actions,
+    reward logits and continue logits (the v3 actor's training data)."""
+
+    def body(carry, k):
+        h, z = carry
+        k1, k2 = jax.random.split(k)
+        action = policy_fn(h, z, k1)
+        h, z, _ = rssm.apply(
+            {"params": params}, h, z, action, k2, method=RSSMv3.step_prior
+        )
+        r = rssm.apply({"params": params}, h, z, method=RSSMv3.reward_logits)
+        c = rssm.apply({"params": params}, h, z, method=RSSMv3.continue_logit)
+        return (h, z), (h, z, action, r, c)
+
+    ks = jax.random.split(key, horizon)
+    _, (hs, zs, acts, rs, cs) = jax.lax.scan(body, (h0, z0), ks)
+    return TDict(h=hs, z=zs, action=acts, reward_logits=rs,
+                 continue_logits=cs)

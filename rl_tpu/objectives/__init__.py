@@ -20,12 +20,24 @@ from .td3_bc import TD3BCLoss
 from .redq import REDQLoss
 from .crossq import CrossQLoss
 from .bc import BCLoss, GAILLoss
+from .dreamer import DreamerModelLoss, DreamerActorLoss, DreamerValueLoss
+from .dreamer_v3 import (
+    DreamerV3ModelLoss,
+    DreamerV3ActorLoss,
+    DreamerV3ValueLoss,
+    symlog,
+    symexp,
+    two_hot_encode,
+    two_hot_decode,
+    categorical_kl_balanced,
+)
 from .value.advantages import (
     ValueEstimatorBase,
     TD0Estimator,
     TD1Estimator,
     TDLambdaEstimator,
     GAE,
+    MultiAgentGAE,
     VTrace,
 )
 from .value import functional
@@ -64,7 +76,19 @@ __all__ = [
     "TD1Estimator",
     "TDLambdaEstimator",
     "GAE",
+    "MultiAgentGAE",
     "VTrace",
     "functional",
     "RNDLoss",
+    "DreamerModelLoss",
+    "DreamerActorLoss",
+    "DreamerValueLoss",
+    "DreamerV3ModelLoss",
+    "DreamerV3ActorLoss",
+    "DreamerV3ValueLoss",
+    "symlog",
+    "symexp",
+    "two_hot_encode",
+    "two_hot_decode",
+    "categorical_kl_balanced",
 ]

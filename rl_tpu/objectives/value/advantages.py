@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from rl_tpu.data import TDict
 from . import functional as F
 
-__all__ = ["ValueEstimatorBase", "TD0Estimator", "TD1Estimator",
+__all__ = ["ValueEstimatorBase", "TD0Estimator", "TD1Estimator", "MultiAgentGAE",
            "TDLambdaEstimator", "GAE", "VTrace"]
 
 
@@ -168,4 +168,82 @@ class VTrace(ValueEstimatorBase):
         return F.vtrace_advantage_estimate(
             self.gamma, log_pi, log_mu, v, v_next, reward, done, terminated,
             self.rho_thresh, self.c_thresh,
+        )
+
+
+class MultiAgentGAE(GAE):
+    """GAE over grouped (multi-agent) keys (reference advantages.py:2367).
+
+    Reads per-agent values/rewards under a ``group`` prefix (default
+    ``"agents"``): values at ``(group, "state_value")``, step results at
+    ``("next", group, ...)``.  Team-shared reward/done signals that lack the
+    agent dim are broadcast across it (reference ``_broadcast_signals``
+    advantages.py:2252), and advantage normalization is per-agent rather
+    than global (reference ``_normalize_advantage`` :2272).
+
+    The scan kernel itself is the standard one: extra agent dims ride along
+    as batch dims of `lax.associative_scan`.
+    """
+
+    def __init__(self, gamma, lmbda: float = 0.95, value_network=None, *,
+                 group: str = "agents", **kw):
+        super().__init__(gamma, lmbda, value_network, **kw)
+        self.group = group
+
+    def _values(self, params, td: TDict):
+        key = (self.group, self.value_key)
+        if key in td and (("next",) + key) in td:
+            return td[key], td[("next",) + key]
+        return super()._values(params, td)
+
+    def _flags(self, td: TDict):
+        nxt = td["next"]
+        group_td = nxt[self.group] if self.group in nxt else nxt
+        reward = group_td["reward"] if "reward" in group_td else nxt["reward"]
+        done = group_td["done"] if "done" in group_td else nxt["done"]
+        terminated = (
+            group_td["terminated"] if "terminated" in group_td
+            else nxt["terminated"]
+        )
+        # Broadcast team-shared [T, B, 1] signals across the agent dim of
+        # per-agent values [T, B, n_agents, 1].
+        if self.group in td:
+            ref = td[self.group, self.value_key] if (
+                (self.group, self.value_key) in td
+            ) else None
+            if ref is not None:
+                reward = jnp.broadcast_to(
+                    jnp.expand_dims(reward, -2) if reward.ndim < ref.ndim
+                    else reward, ref.shape
+                )
+                done = jnp.broadcast_to(
+                    jnp.expand_dims(done, -2) if done.ndim < ref.ndim
+                    else done, ref.shape
+                )
+                terminated = jnp.broadcast_to(
+                    jnp.expand_dims(terminated, -2)
+                    if terminated.ndim < ref.ndim else terminated, ref.shape
+                )
+        return reward, done, terminated
+
+    def estimate(self, params, td):
+        v, v_next = self._values(params, td)
+        reward, done, terminated = self._flags(td)
+        adv, target = F.generalized_advantage_estimate(
+            self.gamma, self.lmbda, v, v_next, reward, done, terminated,
+            vectorized=self.vectorized,
+        )
+        if self.average_gae:
+            # per-agent standardization: reduce over time+batch, keep agents
+            axes = tuple(range(adv.ndim - 2)) + (adv.ndim - 1,)
+            loc = adv.mean(axis=axes, keepdims=True)
+            scale = adv.std(axis=axes, keepdims=True) + 1e-8
+            adv = (adv - loc) / scale
+        return adv, target
+
+    def __call__(self, params, td: TDict) -> TDict:
+        adv, target = self.estimate(params, td)
+        return (
+            td.set((self.group, self.advantage_key), adv)
+              .set((self.group, self.value_target_key), target)
         )

@@ -158,3 +158,48 @@ class TestMAPPO:
         total, m = loss(params, td, key)
         assert np.isfinite(float(total))
         assert float(m["entropy"]) > 0
+
+
+class TestMultiAgentGAE:
+    def test_broadcast_and_per_agent_norm(self):
+        from rl_tpu.objectives import MultiAgentGAE
+
+        T, B, N = 6, 2, 3
+        key = jax.random.PRNGKey(3)
+        vals = jax.random.normal(key, (T, B, N, 1))
+        td = TDict({
+            ("agents", "state_value"): vals,
+            ("next", "agents", "state_value"): vals + 0.1,
+            ("next", "reward"): jnp.ones((T, B, 1)),
+            ("next", "done"): jnp.zeros((T, B, 1), bool),
+            ("next", "terminated"): jnp.zeros((T, B, 1), bool),
+        })
+        est = MultiAgentGAE(0.9, 0.95, average_gae=True)
+        out = est(None, td)
+        adv = out["agents", "advantage"]
+        assert adv.shape == (T, B, N, 1)
+        # per-agent standardization: each agent slice is ~zero-mean/unit-std
+        for a in range(N):
+            assert abs(float(adv[..., a, :].mean())) < 1e-5
+            assert abs(float(adv[..., a, :].std()) - 1.0) < 1e-3
+
+    def test_per_agent_reward_used_when_present(self):
+        from rl_tpu.objectives import MultiAgentGAE, GAE
+
+        T, B, N = 5, 2, 2
+        vals = jnp.zeros((T, B, N, 1))
+        r = jnp.stack([jnp.ones((T, B, 1)), 2 * jnp.ones((T, B, 1))], axis=-2)
+        td = TDict({
+            ("agents", "state_value"): vals,
+            ("next", "agents", "state_value"): vals,
+            ("next", "agents", "reward"): r,
+            ("next", "agents", "done"): jnp.zeros((T, B, N, 1), bool),
+            ("next", "agents", "terminated"): jnp.zeros((T, B, N, 1), bool),
+            ("next", "reward"): jnp.zeros((T, B, 1)),
+            ("next", "done"): jnp.zeros((T, B, 1), bool),
+            ("next", "terminated"): jnp.zeros((T, B, 1), bool),
+        })
+        est = MultiAgentGAE(0.9, 0.95)
+        adv, _ = est.estimate(None, td)
+        # agent 1 earns 2x agent 0's reward → strictly larger advantage
+        assert float(adv[..., 1, :].sum()) > float(adv[..., 0, :].sum())
