@@ -20,6 +20,9 @@ from .td3_bc import TD3BCLoss
 from .redq import REDQLoss
 from .crossq import CrossQLoss
 from .bc import BCLoss, GAILLoss
+from .act import ACTLoss
+from .diffusion_bc import DiffusionBCLoss
+from .pilco import ExponentialQuadraticCost, PILCOLoss
 from .dreamer import DreamerModelLoss, DreamerActorLoss, DreamerValueLoss
 from .dreamer_v3 import (
     DreamerV3ModelLoss,
@@ -71,6 +74,10 @@ __all__ = [
     "CrossQLoss",
     "BCLoss",
     "GAILLoss",
+    "ACTLoss",
+    "DiffusionBCLoss",
+    "ExponentialQuadraticCost",
+    "PILCOLoss",
     "ValueEstimatorBase",
     "TD0Estimator",
     "TD1Estimator",
