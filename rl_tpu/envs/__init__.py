@@ -11,6 +11,7 @@ from .env_creator import EnvCreator, env_creator
 from .async_pool import AsyncEnvPool, ThreadingAsyncEnvPool, ProcessAsyncEnvPool
 from . import transforms
 from .transforms import Transform, Compose, TransformedEnv
+from .custom import TicTacToeEnv, FinancialRegimeEnv, LLMHashingEnv, ChessEnv, ToyVLAEnv
 from .minatar import BreakoutEnv
 from . import libs
 

@@ -1,0 +1,7 @@
+from .tictactoe import TicTacToeEnv
+from .trading import FinancialRegimeEnv
+from .llm_hashing import LLMHashingEnv
+from .chess import ChessEnv
+from .vla import ToyVLAEnv
+
+__all__ = ["TicTacToeEnv", "FinancialRegimeEnv", "LLMHashingEnv", "ChessEnv", "ToyVLAEnv"]

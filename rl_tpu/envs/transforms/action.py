@@ -19,6 +19,7 @@ from rl_tpu.data import Bounded, Categorical, Composite, TDict, Unbounded
 from .base import Transform
 
 __all__ = [
+    "ActionTokenizerTransform",
     "DiscreteActionProjection",
     "ActionDiscretizer",
     "MultiAction",
@@ -243,4 +244,68 @@ class gSDENoise(Transform):
 
     def transform_observation_spec(self, spec: Composite) -> Composite:
         spec[self.key_name] = Unbounded((self.noise_dim, self.action_dim))
+        return spec
+
+
+class ActionTokenizerTransform(Transform):
+    """Bidirectional action ↔ token codec over an action tokenizer
+    (reference _action.py:2105).
+
+    ``mode="encode"`` (default): forward maps the continuous action at
+    ``in_key`` to token ids at ``out_key`` (building token targets on the
+    replay-buffer path); ``inv`` decodes the policy's tokens at ``out_key``
+    back into a continuous ``in_key`` action before the base env consumes
+    it, and the advertised action spec becomes a Categorical over the
+    tokenizer vocabulary.  ``mode="decode"`` swaps the directions.
+    """
+
+    def __init__(self, tokenizer, *, in_key="action",
+                 out_key=("vla_action", "tokens"), mode: str = "encode"):
+        if mode not in ("encode", "decode"):
+            raise ValueError(f"mode must be 'encode' or 'decode', got {mode}")
+        super().__init__()
+        self.tokenizer = tokenizer
+        self.in_key = in_key
+        self.out_key = out_key
+        self.mode = mode
+
+    def step(self, tstate, next_td: TDict):
+        return tstate, self._forward(next_td)
+
+    def reset(self, key, tstate, td: TDict):
+        return TDict(), self._forward(td)
+
+    def _forward(self, td: TDict) -> TDict:
+        if self.mode == "encode":
+            if self.in_key in td:
+                td = td.set(
+                    self.out_key, self.tokenizer.encode(td[self.in_key])
+                )
+        else:
+            if self.out_key in td:
+                td = td.set(
+                    self.in_key, self.tokenizer.decode(td[self.out_key])
+                )
+        return td
+
+    def inv(self, tstate, td: TDict) -> TDict:
+        if self.mode == "encode":
+            # policy emitted tokens: decode them into the env action
+            if self.out_key in td:
+                td = td.set(
+                    self.in_key, self.tokenizer.decode(td[self.out_key])
+                )
+        else:
+            if self.in_key in td:
+                td = td.set(
+                    self.out_key, self.tokenizer.encode(td[self.in_key])
+                )
+        return td
+
+    def transform_action_spec(self, spec: Composite) -> Composite:
+        if self.mode == "encode" and self.in_key in spec:
+            leaf = spec[self.in_key]
+            spec[self.out_key] = Categorical(
+                self.tokenizer.vocab_size, tuple(leaf.shape), jnp.int32
+            )
         return spec

@@ -1,0 +1,143 @@
+"""Native custom envs: tic-tac-toe, trading, LLM hashing, chess gating."""
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rl_tpu.data import TDict
+from rl_tpu.envs import (
+    ChessEnv,
+    FinancialRegimeEnv,
+    LLMHashingEnv,
+    TicTacToeEnv,
+    check_env_specs,
+)
+
+
+class TestTicTacToe:
+    def test_specs(self, key):
+        check_env_specs(TicTacToeEnv(), key=key)
+
+    def test_win_detection_row(self, key):
+        env = TicTacToeEnv()
+        state, _ = env._reset(key)
+        # p0 plays 0,1,2 (top row); p1 plays 3,4
+        moves = [0, 3, 1, 4, 2]
+        for m in moves:
+            state, out = env._step(state, TDict(action=jnp.int32(m)), key)
+        assert bool(out["terminated"][0])
+        assert float(out["reward"][0]) == 1.0  # player 0 wins
+
+    def test_invalid_move_is_noop(self, key):
+        env = TicTacToeEnv()
+        state, _ = env._reset(key)
+        state, out = env._step(state, TDict(action=jnp.int32(4)), key)
+        turn_after = int(out["turn"][0])
+        # repeat the occupied cell: board unchanged, turn NOT flipped
+        state, out2 = env._step(state, TDict(action=jnp.int32(4)), key)
+        assert int(out2["turn"][0]) == turn_after
+        assert jnp.array_equal(out["board"], out2["board"])
+        assert not bool(out2["terminated"][0])
+
+    def test_draw_terminates(self, key):
+        env = TicTacToeEnv()
+        state, _ = env._reset(key)
+        # a known draw sequence
+        for m in [0, 1, 2, 4, 7, 3, 5, 8, 6]:
+            state, out = env._step(state, TDict(action=jnp.int32(m)), key)
+        assert bool(out["terminated"][0])
+        assert float(out["reward"][0]) == 0.0
+
+    def test_single_player_random_opponent(self, key):
+        env = TicTacToeEnv(single_player=True)
+        state, _ = env._reset(key)
+        # player 0 moves; then turn=1 → opponent moves at random regardless
+        # of the provided action
+        state, out = env._step(state, TDict(action=jnp.int32(0)), key)
+        assert int(out["turn"][0]) == 1
+        k2 = jax.random.PRNGKey(7)
+        state, out = env._step(state, TDict(action=jnp.int32(0)), k2)
+        # two cells filled now even though we passed an occupied cell
+        assert int((out["board"] != 0).sum()) == 2
+
+    def test_scan_rollout(self, key):
+        env = TicTacToeEnv()
+        _, ys, _ = env.rollout(10, key=key)
+        assert ys["board"].shape[0] == 10
+        assert bool(jnp.all(ys["mask"].sum(-1) <= 9))
+
+
+class TestTrading:
+    def test_specs(self, key):
+        check_env_specs(FinancialRegimeEnv(window_size=10), key=key)
+
+    def test_buy_sell_pnl(self, key):
+        env = FinancialRegimeEnv(window_size=5, transaction_cost=0.0,
+                                 volatility=0.0, drift=0.5)
+        state, obs = env._reset(key)
+        p_buy = float(state["price_history"][-1])
+        state, out = env._step(state, TDict(action=jnp.int32(1)), key)
+        assert bool(out["current_holdings"][0])
+        assert float(out["entry_price"][0]) == pytest.approx(p_buy)
+        # positive drift, zero vol → selling later realizes a gain
+        for _ in range(3):
+            state, out = env._step(state, TDict(action=jnp.int32(0)), key)
+        state, out = env._step(state, TDict(action=jnp.int32(2)), key)
+        assert not bool(out["current_holdings"][0])
+        assert float(out["reward"][0]) > 0.0
+
+    def test_truncates_at_max_steps(self, key):
+        env = FinancialRegimeEnv(window_size=4, max_steps=3)
+        state, _ = env._reset(key)
+        for _ in range(3):
+            state, out = env._step(state, TDict(action=jnp.int32(0)), key)
+        assert bool(out["truncated"][0])
+
+
+class TestLLMHashing:
+    def test_specs(self, key):
+        check_env_specs(LLMHashingEnv(17, max_len=8), key=key)
+
+    def test_hash_tracks_prefix(self, key):
+        env = LLMHashingEnv(100, max_len=16, prompt=[5, 6])
+        state, obs = env._reset(key)
+        h0 = int(obs["hashing"][0])
+        state, out = env._step(state, TDict(action=jnp.int32(7)), key)
+        h1 = int(out["hashing"][0])
+        assert h1 != h0
+        assert int(out["length"][0]) == 3
+        assert int(out["observation"][2]) == 7
+        # identical prefixes give identical hashes (the forest-dedup
+        # property)
+        env2 = LLMHashingEnv(100, max_len=16, prompt=[5, 6])
+        s2, _ = env2._reset(jax.random.PRNGKey(9))
+        _, out2 = env2._step(s2, TDict(action=jnp.int32(7)), key)
+        assert int(out2["hashing"][0]) == h1
+
+    def test_different_order_different_hash(self, key):
+        env = LLMHashingEnv(100, max_len=8)
+        s, _ = env._reset(key)
+        s, o1 = env._step(s, TDict(action=jnp.int32(1)), key)
+        s, o1 = env._step(s, TDict(action=jnp.int32(2)), key)
+        s2, _ = env._reset(key)
+        s2, o2 = env._step(s2, TDict(action=jnp.int32(2)), key)
+        s2, o2 = env._step(s2, TDict(action=jnp.int32(1)), key)
+        assert int(o1["hashing"][0]) != int(o2["hashing"][0])
+
+    def test_truncates_when_full(self, key):
+        env = LLMHashingEnv(10, max_len=3, prompt=[1, 2])
+        s, _ = env._reset(key)
+        s, out = env._step(s, TDict(action=jnp.int32(3)), key)
+        assert bool(out["truncated"][0])
+
+
+class TestChessGating:
+    def test_import_error_without_chess(self):
+        # python-chess is absent in this image: construction must raise a
+        # helpful ImportError (reference has the same hard dependency)
+        try:
+            import chess  # noqa: F401
+            pytest.skip("chess installed; gating untestable")
+        except ImportError:
+            pass
+        with pytest.raises(ImportError, match="chess"):
+            ChessEnv()
