@@ -17,3 +17,5 @@ __all__ = [
     "generate_exp_name",
     "get_logger",
 ]
+
+from .video import write_gif, write_mp4, write_video

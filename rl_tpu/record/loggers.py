@@ -75,10 +75,14 @@ class CSVLogger(Logger):
 
     def log_video(self, name: str, video, step=None, fps: int = 30):
         safe = name.replace("/", "_")
-        np.save(
-            os.path.join(self.root, "videos", f"{safe}_{step or 0}.npy"),
-            np.asarray(video),
-        )
+        base = os.path.join(self.root, "videos", f"{safe}_{step or 0}")
+        np.save(base + ".npy", np.asarray(video))
+        try:
+            from .video import write_gif
+
+            write_gif(video, base + ".gif", fps=fps)
+        except Exception:  # encoding is best-effort; the npy is canonical
+            pass
 
     def log_hparams(self, cfg: dict):
         with open(os.path.join(self.root, "hparams.json"), "w") as f:
