@@ -7,6 +7,13 @@ from .registry import (
     apply_overrides,
     to_dict,
 )
+from .configs import (
+    Config,
+    TrainerEntryConfig,
+    auto_config,
+    list_configs,
+    register_all,
+)
 
 __all__ = [
     "ConfigBase",
@@ -16,4 +23,9 @@ __all__ = [
     "load_yaml",
     "apply_overrides",
     "to_dict",
+    "Config",
+    "TrainerEntryConfig",
+    "auto_config",
+    "list_configs",
+    "register_all",
 ]

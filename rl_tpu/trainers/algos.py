@@ -103,7 +103,7 @@ class PPOTrainer(_TrainerBase):
             frames_per_batch=frames_per_batch,
         )
         self.gae = GAE(gamma, lmbda, critic, average_gae=True)
-        self.loss_module = ClipPPOLoss(
+        self.loss_module = self._make_loss(
             actor, critic, clip_epsilon=clip_epsilon, entropy_coeff=entropy_coeff
         )
         key = jax.random.PRNGKey(seed)

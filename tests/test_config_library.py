@@ -1,0 +1,74 @@
+"""Structured config library tests.
+
+Mirrors the reference's config test strategy
+(/root/reference/test/test_configs.py — every registered config is
+constructible and instantiates its target; YAML fully determines the graph).
+"""
+import dataclasses
+
+import pytest
+
+from rl_tpu.config import (
+    get_config_cls,
+    instantiate,
+    list_configs,
+    load_yaml,
+    to_dict,
+)
+
+
+def test_registry_scale():
+    cfgs = list_configs()
+    # reference ships ~230 dataclasses (configs/ 6,973 LoC); we derive ours
+    assert len(cfgs) >= 200
+    for must in [
+        "MLPConfig", "ConvNetConfig", "ClipPPOLossConfig", "SACLossConfig",
+        "GAEConfig", "ReplayBufferConfig", "PrioritizedSamplerConfig",
+        "CollectorConfig", "PPOTrainerConfig", "CSVLoggerConfig",
+        "TransformedEnvConfig", "StepCounterConfig", "VecNormConfig",
+    ]:
+        assert must in cfgs, must
+
+
+def test_every_config_is_dataclass_with_target():
+    roots = {"Config", "TrainerEntryConfig"}  # root configs have no target
+    for name in list_configs():
+        cls = get_config_cls(name)
+        assert dataclasses.is_dataclass(cls)
+        if name not in roots:
+            assert getattr(cls, "_target_", None), name
+
+
+def test_auto_config_roundtrip():
+    C = get_config_cls("MLPConfig")
+    mlp = instantiate(C(out_features=3, num_cells=(8, 8)))
+    import jax, jax.numpy as jnp
+
+    params = mlp.init(jax.random.PRNGKey(0), jnp.zeros((4,)))
+    out = mlp.apply(params, jnp.zeros((4,)))
+    assert out.shape == (3,)
+
+
+PPO_YAML = """
+env:
+  _target_: TransformedEnv
+  env: {_target_: BatchedEnv, env: {_target_: PendulumEnv}, num_envs: 4}
+  transform: [{_target_: RewardScaling, scale: 0.1}]
+"""
+
+
+def test_yaml_graph_to_rollout():
+    cfg = load_yaml(PPO_YAML)
+    env = instantiate(cfg["env"])
+    import jax
+
+    state, td = env.reset(jax.random.PRNGKey(0))
+    assert td["observation"].shape[0] == 4
+
+
+def test_nested_dataclass_to_dict():
+    C = get_config_cls("RewardScalingConfig")
+    d = to_dict(C(scale=0.5))
+    assert d["_target_"].endswith("RewardScaling") and d["scale"] == 0.5
+    obj = instantiate(d)
+    assert type(obj).__name__ == "RewardScaling"
