@@ -29,6 +29,7 @@ __all__ = [
     "LazyStackStorage",
     "CompressedListStorage",
     "StorageEnsemble",
+    "StoreStorage",
     "save_storage",
     "load_storage",
 ]
@@ -316,3 +317,118 @@ def load_storage(path: str) -> TDict:
         for k in z.files:
             out = out.set(tuple(k.split("/")), jnp.asarray(z[k]))
     return out
+
+
+class _MemoryStore:
+    """In-process dict with the tiny subset of the redis wire API StoreStorage
+    needs (``set``/``get``/``delete``/``exists``)."""
+
+    def __init__(self):
+        self._d: dict[bytes, bytes] = {}
+
+    def set(self, k, v):
+        self._d[k if isinstance(k, bytes) else k.encode()] = v
+
+    def get(self, k):
+        return self._d.get(k if isinstance(k, bytes) else k.encode())
+
+    def delete(self, *ks):
+        for k in ks:
+            self._d.pop(k if isinstance(k, bytes) else k.encode(), None)
+
+    def exists(self, k):
+        return (k if isinstance(k, bytes) else k.encode()) in self._d
+
+
+class StoreStorage:
+    """Replay storage backed by a key-value store (reference
+    storages.py:2418 — redis/dragonfly via TensorDictStore).
+
+    Each element is serialized (key-flattened npz bytes) under
+    ``<prefix>:<index>``.  ``backend="memory"`` (default) runs in-process;
+    ``backend="redis"`` connects through the ``redis`` package when
+    installed; any client object exposing ``set/get/delete/exists`` can be
+    injected via ``client=`` (so Redis-wire-compatible servers work without
+    a hard dependency).  Host-side control-plane storage — not jittable.
+    """
+
+    def __init__(self, capacity: int, *, backend: str = "memory",
+                 host: str = "localhost", port: int = 6379, db: int = 0,
+                 prefix: str = "rl_tpu_rb", client=None):
+        self.capacity = int(capacity)
+        self.prefix = prefix
+        if client is not None:
+            self._client = client
+        elif backend == "memory":
+            self._client = _MemoryStore()
+        elif backend in ("redis", "dragonfly", "keydb"):
+            try:
+                import redis
+            except ImportError as e:  # pragma: no cover - redis not in image
+                raise ImportError(
+                    f"backend={backend!r} needs the `redis` package; pass "
+                    "client= or use backend='memory'") from e
+            self._client = redis.Redis(host=host, port=port, db=db)
+        else:
+            raise ValueError(f"unknown backend {backend!r}")
+        self._size = 0
+
+    def init(self, example=None):
+        self._size = 0
+        return None
+
+    def _key(self, i: int) -> str:
+        return f"{self.prefix}:{int(i)}"
+
+    @staticmethod
+    def _encode(td: TDict) -> bytes:
+        import io
+
+        buf = io.BytesIO()
+        arrays = {}
+        for k in td.keys(include_nested=True, leaves_only=True):
+            flat = k if isinstance(k, str) else "//".join(k)
+            arrays[flat] = np.asarray(td[k])
+        np.savez(buf, **arrays)
+        return buf.getvalue()
+
+    @staticmethod
+    def _decode(raw: bytes) -> TDict:
+        import io
+
+        with np.load(io.BytesIO(raw)) as z:
+            td = TDict()
+            for flat in z.files:
+                k = tuple(flat.split("//")) if "//" in flat else flat
+                td = td.set(k, z[flat])
+        return td
+
+    def set(self, state, idx, items):
+        idxs = np.atleast_1d(np.asarray(idx))
+        if isinstance(items, TDict) and len(idxs) > 1:
+            items = [items[i] for i in range(len(idxs))]
+        elif isinstance(items, TDict):
+            items = [items] if idxs.shape[0] == 1 else [items]
+        for i, item in zip(idxs, items):
+            if not self._client.exists(self._key(int(i))):
+                self._size += 1
+            self._client.set(self._key(int(i)), self._encode(item))
+        return state
+
+    def get(self, state, idx):
+        idxs = np.atleast_1d(np.asarray(idx))
+        out = []
+        for i in idxs:
+            raw = self._client.get(self._key(int(i)))
+            if raw is None:
+                raise IndexError(f"no element at {int(i)}")
+            out.append(self._decode(raw))
+        if len(out) == 1 and np.ndim(idx) == 0:
+            return out[0]
+        return TDict.stack(out)
+
+    def size(self, state=None) -> int:
+        return self._size
+
+    def __len__(self):
+        return self.capacity

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 
 from .tdict import TDict
@@ -19,6 +20,7 @@ from .tdict import TDict
 __all__ = [
     "VLAImages", "VLAObservation", "VLAAction",
     "UniformActionTokenizer", "VocabTailActionTokenizer",
+    "OpenVLAImagePreprocessor",
 ]
 
 
@@ -130,3 +132,63 @@ class VocabTailActionTokenizer(UniformActionTokenizer):
             self.num_bins - 1,
         )
         return super().decode(bins)
+
+
+class OpenVLAImagePreprocessor:
+    """OpenVLA-style image preprocessing: Lanczos3 resize, optional 0.9-area
+    center crop (crop then resize back), and per-channel normalization.
+
+    Counterpart of the reference ``OpenVLAImagePreprocessor``
+    (``/root/reference/torchrl/data/vla/preprocessing.py:227``).  The
+    reference's JPEG round-trip backends exist to reproduce TF-evaluation
+    artifacts bit-for-bit on CPU; the TPU-native path is pure
+    ``jax.image.resize`` with the ``lanczos3`` kernel (the same filter the
+    OpenVLA-OFT eval uses), fully jittable and batchable.  Layout is NHWC
+    (TPU-native; see CLAUDE.md deviations).
+
+    Float inputs with max <= 1 are treated as [0, 1]; uint8 and other floats
+    as [0, 255].  Output is float32 in [0, 1] before normalization.
+
+    ``mean``/``std`` may be 1-D (one normalization) or 2-D (multiple
+    normalizations of the same image concatenated along channels, as fused
+    OpenVLA vision backbones expect).
+    """
+
+    def __init__(self, *, size: int = 224, center_crop: bool = False,
+                 mean=None, std=None):
+        if size < 1:
+            raise ValueError(f"size must be >= 1, got {size}")
+        self.size = int(size)
+        self.center_crop = bool(center_crop)
+        self.mean = None if mean is None else jnp.atleast_2d(jnp.asarray(mean, jnp.float32))
+        self.std = None if std is None else jnp.atleast_2d(jnp.asarray(std, jnp.float32))
+
+    def __call__(self, images) -> jnp.ndarray:
+        x = jnp.asarray(images)
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            # treat [0,1]-normalized floats as such; others as [0,255]
+            x = jnp.where(jnp.max(jnp.abs(x)) <= 1.0, x, x / 255.0)
+            x = x.astype(jnp.float32)
+        else:
+            x = x.astype(jnp.float32) / 255.0
+        lead, hw = x.shape[:-3], x.shape[-3:-1]
+        c = x.shape[-1]
+        s = self.size
+        out_shape = lead + (s, s, c)
+        x = jax.image.resize(x, out_shape, method="lanczos3")
+        if self.center_crop:
+            # OpenVLA: crop sqrt(0.9) of each side centrally, resize back
+            side = int(round(s * (0.9 ** 0.5)))
+            off = (s - side) // 2
+            x = x[..., off:off + side, off:off + side, :]
+            x = jax.image.resize(x, out_shape, method="lanczos3")
+        x = jnp.clip(x, 0.0, 1.0)
+        if self.mean is not None or self.std is not None:
+            mean = self.mean if self.mean is not None else jnp.zeros((1, c))
+            std = self.std if self.std is not None else jnp.ones((1, c))
+            if mean.shape[0] != std.shape[0]:
+                raise ValueError("mean and std must have the same number of "
+                                 "normalization rows")
+            norms = [(x - m) / sd for m, sd in zip(mean, std)]
+            x = jnp.concatenate(norms, axis=-1)
+        return x

@@ -1,7 +1,7 @@
 from .tictactoe import TicTacToeEnv
-from .trading import FinancialRegimeEnv
+from .trading import FinancialRegimeEnv, TradingEnv
 from .llm_hashing import LLMHashingEnv
 from .chess import ChessEnv
 from .vla import ToyVLAEnv
 
-__all__ = ["TicTacToeEnv", "FinancialRegimeEnv", "LLMHashingEnv", "ChessEnv", "ToyVLAEnv"]
+__all__ = ["TicTacToeEnv", "FinancialRegimeEnv", "TradingEnv", "LLMHashingEnv", "ChessEnv", "ToyVLAEnv"]

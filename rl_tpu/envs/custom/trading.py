@@ -110,3 +110,10 @@ class FinancialRegimeEnv(Env):
             terminated=jnp.zeros((1,), bool),
             truncated=truncated.reshape(1),
         ))
+
+
+# The reference names this concept ``TradingEnv``
+# (/root/reference/torchrl/envs/custom/trading.py); FinancialRegimeEnv is the
+# TPU-native regime-switching variant — alias for API parity.
+TradingEnv = FinancialRegimeEnv
+__all__.append("TradingEnv")

@@ -14,7 +14,7 @@ import numpy as np
 
 from rl_tpu.data import TDict
 
-__all__ = ["VideoRecorder", "record_rollout_video"]
+__all__ = ["VideoRecorder", "TensorDictRecorder", "record_rollout_video"]
 
 
 class VideoRecorder:
@@ -73,3 +73,50 @@ def record_rollout_video(env, policy, logger, *, key, max_steps: int = 500,
     rec = VideoRecorder(logger, tag=tag, pixels_key=pixels_key, upscale=upscale)
     rec.capture(ys)
     return rec.dump(step=step)
+
+
+class TensorDictRecorder:
+    """Buffer rollout TDicts on the host and dump them to ``.npz`` files
+    (reference ``TensorDictRecorder`` record/recorder.py:433).
+
+    ``capture`` takes a batch (e.g. a rollout's stacked output or a single
+    step result), optionally selecting ``in_keys``, every ``skip``-th call;
+    ``dump`` stacks and writes ``<out_file_base>_<iter>.npz`` with one array
+    per (flattened) key.
+    """
+
+    def __init__(self, out_file_base: str, *, skip_reset: bool = True,
+                 skip: int = 4, in_keys=None):
+        self.out_file_base = str(out_file_base)
+        self.skip_reset = skip_reset
+        self.skip = int(skip)
+        self.in_keys = list(in_keys) if in_keys else []
+        self.td: list[TDict] = []
+        self.count = 0
+        self.iter = 0
+
+    def capture(self, td: TDict) -> TDict:
+        self.count += 1
+        if self.count % self.skip == 0:
+            sel = td.select(*self.in_keys, strict=False) if self.in_keys else td
+            self.td.append(sel)
+        return td
+
+    __call__ = capture
+
+    def dump(self, suffix: str | None = None) -> str | None:
+        tds = self.td[1:] if (self.skip_reset and len(self.td) > 1) else self.td
+        if not tds:
+            return None
+        name = (f"{self.out_file_base}_td_{self.iter}"
+                + (f"_{suffix}" if suffix else "") + ".npz")
+        arrays = {}
+        keys = tds[0].keys(include_nested=True, leaves_only=True)
+        for k in keys:
+            flat = k if isinstance(k, str) else "/".join(k)
+            arrays[flat] = np.stack([np.asarray(t[k]) for t in tds])
+        np.savez(name, **arrays)
+        self.iter += 1
+        self.td.clear()
+        self.count = 0
+        return name

@@ -20,7 +20,8 @@ import jax.numpy as jnp
 from rl_tpu.data import TDict
 from .models import MLP, ConvNet
 
-__all__ = ["MultiAgentMLP", "MultiAgentConvNet", "VDNMixer", "QMixer"]
+__all__ = ["MultiAgentMLP", "MultiAgentConvNet", "VDNMixer", "QMixer",
+           "CrossCriticGroupSpec", "CrossGroupCritic"]
 
 
 class _MultiAgentNetBase:
@@ -187,3 +188,101 @@ class QMixer:
             params = params.to_dict()
         q = jnp.asarray(chosen_q).squeeze(-1)
         return self.net.apply({"params": params}, q, jnp.asarray(state))
+
+
+# ---------------------------------------------------------------------------
+# Cross-group centralised critic
+# (reference /root/reference/torchrl/modules/models/cross_group_critic.py:
+#  CrossCriticGroupSpec :26, _CrossGroupNet :44, CrossGroupCritic :134)
+# ---------------------------------------------------------------------------
+
+import dataclasses
+
+from rl_tpu.modules.td_module import TDModule
+
+
+@dataclasses.dataclass
+class CrossCriticGroupSpec:
+    """One agent group for :class:`CrossGroupCritic`: observation dim, agent
+    count and the TDict keys to read/write (reference :26)."""
+
+    obs_dim: int
+    n_agents: int
+    obs_key: Any = None
+    value_key: Any = None
+
+    def __post_init__(self):
+        if self.obs_key is None or self.value_key is None:
+            raise ValueError("obs_key and value_key are required")
+
+
+class _CrossGroupNet(nn.Module):
+    """Per-group encoders -> shared trunk over the joint team state ->
+    per-group (or shared) value heads (reference :44)."""
+
+    group_names: tuple
+    group_n_agents: tuple
+    d_model: int = 64
+    trunk_depth: int = 2
+    trunk_cells: int = 256
+    share_params: bool = False
+    detach_groups: tuple = ()
+
+    @nn.compact
+    def __call__(self, *group_obs):
+        encoded = []
+        for obs, name in zip(group_obs, self.group_names):
+            enc = nn.Dense(self.d_model, name=f"enc_{name}")(
+                jnp.asarray(obs, jnp.float32))
+            enc = nn.tanh(enc)
+            if name in self.detach_groups:
+                enc = jax.lax.stop_gradient(enc)
+            encoded.append(enc)  # [*B, n_agents_g, d_model]
+        joint = jnp.concatenate(encoded, axis=-2)  # [*B, n_total, d_model]
+        n_total = sum(self.group_n_agents)
+        x = joint.reshape(joint.shape[:-2] + (n_total * self.d_model,))
+        for i in range(self.trunk_depth):
+            x = nn.tanh(nn.Dense(self.trunk_cells, name=f"trunk_{i}")(x))
+        x = nn.Dense(n_total * self.d_model, name="trunk_out")(x)
+        x = x.reshape(x.shape[:-1] + (n_total, self.d_model))
+        outs, start = [], 0
+        shared = nn.Dense(1, name="head") if self.share_params else None
+        for name, n in zip(self.group_names, self.group_n_agents):
+            g = x[..., start:start + n, :]
+            head = shared if shared is not None else nn.Dense(
+                1, name=f"head_{name}")
+            outs.append(head(g))
+            start += n
+        return tuple(outs)
+
+
+class CrossGroupCritic(TDModule):
+    """Centralised critic over multiple (possibly heterogeneous) agent
+    groups (reference cross_group_critic.py:134).
+
+    Reads each group's observations, encodes them to a shared embedding,
+    runs a joint trunk over the full team state, and writes a per-group
+    value estimate.  ``detach_groups`` lets fixed-policy groups inform the
+    baseline without receiving gradients.  Plugs into MAPPO/IPPO losses
+    unchanged (it is a plain TDModule).
+    """
+
+    def __init__(self, group_map, *, d_model: int = 64, trunk_depth: int = 2,
+                 trunk_cells: int = 256, share_params: bool = False,
+                 detach_groups=None):
+        if not group_map:
+            raise ValueError("group_map must not be empty")
+        self.group_specs = dict(group_map)
+        names = tuple(self.group_specs)
+        net = _CrossGroupNet(
+            group_names=names,
+            group_n_agents=tuple(s.n_agents for s in self.group_specs.values()),
+            d_model=d_model, trunk_depth=trunk_depth, trunk_cells=trunk_cells,
+            share_params=share_params,
+            detach_groups=tuple(detach_groups or ()),
+        )
+        super().__init__(
+            net,
+            in_keys=[s.obs_key for s in self.group_specs.values()],
+            out_keys=[s.value_key for s in self.group_specs.values()],
+        )

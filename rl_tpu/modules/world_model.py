@@ -20,10 +20,12 @@ import jax
 import jax.numpy as jnp
 
 from rl_tpu.data import TDict
+from rl_tpu.modules.td_module import Seq
 
 __all__ = [
     "ObsEncoder", "ObsDecoder", "RSSM", "rssm_observe", "rssm_imagine",
     "RSSMv3", "rssm_observe_v3", "rssm_imagine_v3",
+    "WorldModel", "WorldModelWrapper",
 ]
 
 
@@ -328,3 +330,100 @@ def rssm_imagine_v3(rssm: RSSMv3, params, policy_fn, h0, z0, horizon: int,
     _, (hs, zs, acts, rs, cs) = jax.lax.scan(body, (h0, z0), ks)
     return TDict(h=hs, z=zs, action=acts, reward_logits=rs,
                  continue_logits=cs)
+
+
+# ---------------------------------------------------------------------------
+# Generic composable world model
+# ---------------------------------------------------------------------------
+
+class WorldModel:
+    """Composable world model: encoder + dynamics + reward head (+ done head,
+    + decoder), all TDModules communicating through named TDict keys.
+
+    Counterpart of the reference ``WorldModel``
+    (``/root/reference/torchrl/modules/tensordict_module/world_models.py:11``):
+    it owns prediction and composition (``encode`` / ``step`` / ``decode``);
+    rollout semantics live in :class:`rl_tpu.envs.WorldModelEnv`.
+
+    Params are a TDict with one sub-tree per component
+    (``encoder`` / ``dynamics`` / ``reward_head`` / ``done_head`` /
+    ``decoder``) so each can be trained or frozen independently.
+    """
+
+    def __init__(self, encoder, dynamics, reward_head, *, done_head=None,
+                 decoder=None):
+        self.encoder = encoder
+        self.dynamics = dynamics
+        self.reward_head = reward_head
+        self.done_head = done_head
+        self.decoder = decoder
+        self._parts = {"encoder": encoder, "dynamics": dynamics,
+                       "reward_head": reward_head}
+        if done_head is not None:
+            self._parts["done_head"] = done_head
+        if decoder is not None:
+            self._parts["decoder"] = decoder
+        self.in_keys = list(dict.fromkeys(
+            k for m in self._parts.values() for k in m.in_keys))
+        self.out_keys = list(dict.fromkeys(
+            k for m in self._parts.values() for k in m.out_keys))
+
+    # -- param plumbing -----------------------------------------------------
+    def init(self, key, td: TDict) -> TDict:
+        params = TDict()
+        ks = jax.random.split(key, len(self._parts))
+        for (name, mod), k in zip(self._parts.items(), ks):
+            p = mod.init(k, td)
+            td = mod(p, td, key=k)
+            params = params.set(name, p)
+        return params
+
+    def _run(self, names, params, td: TDict, key=None) -> TDict:
+        mods = [self._parts[n] for n in names if n in self._parts]
+        ks = (jax.random.split(key, len(mods)) if key is not None
+              else [None] * len(mods))
+        for n, m, k in zip([n for n in names if n in self._parts], mods, ks):
+            td = m(params[n], td, key=k)
+        return td
+
+    # -- reference API ------------------------------------------------------
+    def __call__(self, params, td: TDict, key=None) -> TDict:
+        """Full pipeline: encode -> dynamics -> heads (-> decode)."""
+        return self._run(
+            ["encoder", "dynamics", "reward_head", "done_head", "decoder"],
+            params, td, key)
+
+    def encode(self, params, td: TDict, key=None) -> TDict:
+        """Observation -> latent (reference world_models.py:118)."""
+        return self._run(["encoder"], params, td, key)
+
+    def step(self, params, td: TDict, key=None) -> TDict:
+        """Latent step: dynamics + heads, no encoder (reference :122)."""
+        return self._run(
+            ["dynamics", "reward_head", "done_head", "decoder"],
+            params, td, key)
+
+    def decode(self, params, td: TDict, key=None) -> TDict:
+        if self.decoder is None:
+            raise RuntimeError("WorldModel has no decoder")
+        return self._run(["decoder"], params, td, key)
+
+    @property
+    def step_module(self):
+        """The step-only callable ``(params, td, key) -> td``
+        (reference ``step_module`` :144)."""
+        return self.step
+
+
+class WorldModelWrapper(Seq):
+    """Transition model + reward model pair (reference world_models.py:154)."""
+
+    def __init__(self, transition_model, reward_model):
+        super().__init__(transition_model, reward_model,
+                         names=["transition", "reward"])
+
+    def get_transition_model_operator(self):
+        return self.modules[0]
+
+    def get_reward_operator(self):
+        return self.modules[1]

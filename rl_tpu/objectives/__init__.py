@@ -24,6 +24,7 @@ from .act import ACTLoss
 from .diffusion_bc import DiffusionBCLoss
 from .pilco import ExponentialQuadraticCost, PILCOLoss
 from .dreamer import DreamerModelLoss, DreamerActorLoss, DreamerValueLoss
+from .world_model import WorldModelLoss
 from .dreamer_v3 import (
     DreamerV3ModelLoss,
     DreamerV3ActorLoss,
@@ -88,6 +89,7 @@ __all__ = [
     "functional",
     "RNDLoss",
     "DreamerModelLoss",
+    "WorldModelLoss",
     "DreamerActorLoss",
     "DreamerValueLoss",
     "DreamerV3ModelLoss",

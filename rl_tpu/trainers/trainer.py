@@ -34,6 +34,12 @@ __all__ = [
     "UpdateWeights",
     "EarlyStopping",
     "SelectKeys",
+    "OptimizationStepper",
+    "OptimizerHook",
+    "LogTiming",
+    "UTDRHook",
+    "LRSchedulerHook",
+    "ClearDeviceCache",
 ]
 
 HOOK_POINTS = (
@@ -427,3 +433,184 @@ class EarlyStopping:
 
     def register(self, trainer: Trainer):
         trainer.register_op("pre_steps_log", self)
+
+
+class OptimizationStepper:
+    """Standalone grad step: loss → grads → clip → optax update
+    (reference ``OptimizationStepper`` trainers.py:200/249).
+
+    The Trainer owns its own fused ``_grad_step``; this class is the
+    composable form for custom loops and for ``OptimizerHook``.
+    """
+
+    def __init__(self, loss_module, optimizer: optax.GradientTransformation,
+                 *, clip_grad_norm: float | None = None):
+        self.loss_module = loss_module
+        self.tx = (optax.chain(optax.clip_by_global_norm(clip_grad_norm),
+                               optimizer)
+                   if clip_grad_norm else optimizer)
+        self._step = jax.jit(self._step_impl)
+
+    def init(self, params):
+        return self.tx.init(params)
+
+    def _step_impl(self, params, opt_state, batch, key):
+        (total, metrics), grads = jax.value_and_grad(
+            lambda p: self.loss_module(p, batch, key), has_aux=True
+        )(params)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics.set(
+            "grad_norm", optax.global_norm(grads)).set("loss_total", total)
+
+    def __call__(self, params, opt_state, batch, key):
+        return self._step(params, opt_state, batch, key)
+
+
+class OptimizerHook:
+    """Run a (possibly secondary) optimizer over a subset of loss components
+    (reference ``OptimizerHook`` trainers.py:1923).
+
+    Registered at ``post_loss``; owns an :class:`OptimizationStepper` and a
+    ``loss_components`` filter: only ``loss_*`` keys in the filter contribute
+    to this optimizer's gradient.  Used to train different parameter groups
+    with different optimizers/loss subsets (e.g. world model vs actor).
+    """
+
+    def __init__(self, optimizer: optax.GradientTransformation, *,
+                 loss_components=None):
+        self.tx = optimizer
+        self.loss_components = (
+            tuple(loss_components) if loss_components is not None else None)
+        self.opt_state = None
+        self._trainer = None
+        self._step = jax.jit(self._step_impl)
+
+    def _filtered_total(self, metrics: TDict):
+        total = 0.0
+        for k, v in metrics.items(include_nested=True, leaves_only=True):
+            name = k if isinstance(k, str) else k[-1]
+            if not (isinstance(name, str) and name.startswith("loss_")):
+                continue
+            if self.loss_components is None or name in self.loss_components:
+                total = total + v
+        return total
+
+    def _step_impl(self, params, opt_state, batch, key):
+        def fwd(p):
+            metrics = self._trainer.loss_module.loss(p, batch, key)
+            return self._filtered_total(metrics), metrics
+
+        (_, metrics), grads = jax.value_and_grad(fwd, has_aux=True)(params)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, metrics
+
+    def __call__(self, batch, metrics=None):
+        tr = self._trainer
+        if self.opt_state is None:
+            self.opt_state = self.tx.init(tr.params)
+        tr.params, self.opt_state, _ = self._step(
+            tr.params, self.opt_state, batch, tr.next_key())
+
+    def register(self, trainer: "Trainer"):
+        self._trainer = trainer
+        trainer.register_op("post_loss", self)
+
+
+class LogTiming:
+    """Log the ``timeit`` registry means as ``time/...`` scalars
+    (reference ``LogTiming`` trainers.py:2042)."""
+
+    def __init__(self, prefix: str = "time"):
+        self.prefix = prefix
+
+    def __call__(self, batch, trainer: "Trainer"):
+        if trainer.logger is None:
+            return
+        for name, stats in timeit.todict().items():
+            trainer.logger.log_scalar(
+                f"{self.prefix}/{name}", float(stats["mean"]),
+                step=trainer.collected_frames)
+
+    def register(self, trainer: "Trainer"):
+        trainer.register_op("post_steps_log", self)
+
+
+class UTDRHook:
+    """Track and log the update-to-data ratio (gradient steps per collected
+    frame; reference ``UTDRHook`` trainers.py:2978)."""
+
+    def __init__(self):
+        self.grad_steps = 0
+        self._trainer = None
+
+    def count(self, batch, metrics=None):
+        self.grad_steps += 1
+
+    def __call__(self, batch, trainer: "Trainer"):
+        if trainer.collected_frames:
+            utd = self.grad_steps / trainer.collected_frames
+            if trainer.logger is not None:
+                trainer.logger.log_scalar(
+                    "train/utd_ratio", utd, step=trainer.collected_frames)
+
+    def register(self, trainer: "Trainer"):
+        self._trainer = trainer
+        trainer.register_op("post_loss", self.count)
+        trainer.register_op("post_steps_log", self)
+
+
+class LRSchedulerHook:
+    """Step an optax schedule's count and log the current learning rate
+    (reference ``LRSchedulerHook`` trainers.py:2915).
+
+    With optax, schedules are wired into the optimizer
+    (``optax.inject_hyperparams`` / schedule-aware transforms), so the hook's
+    job reduces to surfacing the current value for logging.
+    """
+
+    def __init__(self, schedule: Callable[[int], float] | None = None):
+        self.schedule = schedule
+        self.steps = 0
+
+    def count(self, batch, metrics=None):
+        self.steps += 1
+
+    def __call__(self, batch, trainer: "Trainer"):
+        lr = None
+        if self.schedule is not None:
+            lr = float(self.schedule(self.steps))
+        else:  # look for injected hyperparams in the opt state
+            state = trainer.opt_state
+            for s in jax.tree_util.tree_leaves(
+                    state, is_leaf=lambda x: hasattr(x, "hyperparams")):
+                if hasattr(s, "hyperparams") and "learning_rate" in s.hyperparams:
+                    lr = float(s.hyperparams["learning_rate"])
+        if lr is not None and trainer.logger is not None:
+            trainer.logger.log_scalar(
+                "train/learning_rate", lr, step=trainer.collected_frames)
+
+    def register(self, trainer: "Trainer"):
+        trainer.register_op("post_loss", self.count)
+        trainer.register_op("post_steps_log", self)
+
+
+class ClearDeviceCache:
+    """Periodically drop XLA's live-buffer donation caches
+    (reference ``ClearCudaCache`` trainers.py:2013 — on TPU there is no
+    allocator cache to clear; we trigger a host GC + block on async work so
+    freed device buffers are actually reclaimed)."""
+
+    def __init__(self, interval: int = 100):
+        self.interval = int(interval)
+        self.calls = 0
+
+    def __call__(self, *args):
+        self.calls += 1
+        if self.calls % self.interval == 0:
+            import gc
+            gc.collect()
+            (jax.device_put(0.0) + 0).block_until_ready()
+
+    def register(self, trainer: "Trainer"):
+        trainer.register_op("pre_optim_steps", self)
