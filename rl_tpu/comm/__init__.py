@@ -5,6 +5,21 @@ from .request_reply import (
     TCPServer,
 )
 from .services import ServiceRegistry, services
+from .mailbox import (
+    Mailbox,
+    MailboxClient,
+    MailboxFuture,
+    MailboxTransportError,
+    MailboxPeerClosedError,
+    watch_process_liveness,
+)
+from .rendezvous import (
+    Rendezvous,
+    MappingRendezvous,
+    TCPStoreRendezvous,
+    TCPStoreServer,
+)
+from .replay_service import ReplayService, DistributedReplayClient
 
 __all__ = [
     "RequestReplyTransport",
@@ -13,4 +28,16 @@ __all__ = [
     "TCPServer",
     "ServiceRegistry",
     "services",
+    "Mailbox",
+    "MailboxClient",
+    "MailboxFuture",
+    "MailboxTransportError",
+    "MailboxPeerClosedError",
+    "watch_process_liveness",
+    "Rendezvous",
+    "MappingRendezvous",
+    "TCPStoreRendezvous",
+    "TCPStoreServer",
+    "ReplayService",
+    "DistributedReplayClient",
 ]
