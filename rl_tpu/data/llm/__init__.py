@@ -1,3 +1,4 @@
 from .history import History, Message
+from .topk import TopKRewardSelector
 
-__all__ = ["History", "Message"]
+__all__ = ["History", "Message", "TopKRewardSelector"]
