@@ -11,7 +11,8 @@ from .env_creator import EnvCreator, env_creator
 from .async_pool import AsyncEnvPool, ThreadingAsyncEnvPool, ProcessAsyncEnvPool
 from . import transforms
 from .transforms import Transform, Compose, TransformedEnv
-from .custom import TicTacToeEnv, FinancialRegimeEnv, TradingEnv, LLMHashingEnv, ChessEnv, ToyVLAEnv
+from .custom import (TicTacToeEnv, FinancialRegimeEnv, TradingEnv, LLMHashingEnv,
+                     ChessEnv, ToyVLAEnv, MultiAgentNavEnv)
 from .minatar import BreakoutEnv
 from .model_based import ModelBasedEnv, WorldModelEnv, ImaginedEnv, DreamerEnv
 from .marl import MarlGroupMapType, check_marl_grouping

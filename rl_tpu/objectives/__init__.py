@@ -25,6 +25,7 @@ from .diffusion_bc import DiffusionBCLoss
 from .pilco import ExponentialQuadraticCost, PILCOLoss
 from .dreamer import DreamerModelLoss, DreamerActorLoss, DreamerValueLoss
 from .world_model import WorldModelLoss
+from .multiagent import QMixerLoss, MAPPOLoss, IPPOLoss
 from .dreamer_v3 import (
     DreamerV3ModelLoss,
     DreamerV3ActorLoss,
@@ -90,6 +91,9 @@ __all__ = [
     "RNDLoss",
     "DreamerModelLoss",
     "WorldModelLoss",
+    "QMixerLoss",
+    "MAPPOLoss",
+    "IPPOLoss",
     "DreamerActorLoss",
     "DreamerValueLoss",
     "DreamerV3ModelLoss",

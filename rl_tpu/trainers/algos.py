@@ -23,9 +23,9 @@ from rl_tpu.data.replay import ReplayBuffer
 from rl_tpu.objectives import GAE, ClipPPOLoss, DQNLoss, SACLoss, SoftUpdate
 from rl_tpu.utils import timeit
 
-__all__ = ["PPOTrainer", "SACTrainer", "DQNTrainer", "DDPGTrainer",
+__all__ = ["PPOTrainer", "A2CTrainer", "ReinforceTrainer", "SACTrainer", "DQNTrainer", "DDPGTrainer",
            "TD3Trainer", "OfflineTrainer", "IQLTrainer", "CQLTrainer",
-           "TD3BCTrainer", "OfflineToOnlineTrainer"]
+           "TD3BCTrainer", "OfflineToOnlineTrainer", "GenericOffPolicyTrainer"]
 
 
 def _flatten_time(batch: TDict) -> TDict:
@@ -115,6 +115,10 @@ class PPOTrainer(_TrainerBase):
         self.opt_state = self.tx.init(self.params)
         self._key = key
         self._update = jax.jit(self._update_impl)
+
+    def _make_loss(self, actor, critic, *, clip_epsilon, entropy_coeff):
+        return ClipPPOLoss(actor, critic, clip_epsilon=clip_epsilon,
+                           entropy_coeff=entropy_coeff)
 
     def _update_impl(self, params, opt_state, cstate, key):
         cstate, batch = self.collector._collect(params, cstate)
@@ -633,3 +637,86 @@ class OfflineToOnlineTrainer(_TrainerBase):
         seed_batch = jax.tree.map(lambda x: x[:n_seed], self.dataset)
         self.online._seed_batch = seed_batch
         return self.online.train()
+
+
+class A2CTrainer(PPOTrainer):
+    """Advantage actor-critic (reference trainers/algorithms/ppo.py's
+    ``A2CTrainer`` over ``OnPolicyTrainer``): same collect→GAE→update shape
+    as PPO with the A2C objective and single-pass (no clipped epochs)
+    defaults."""
+
+    def __init__(self, env, actor, critic, *, num_epochs: int = 1,
+                 minibatches: int = 1, entropy_coeff: float = 0.01, **kwargs):
+        super().__init__(env, actor, critic, num_epochs=num_epochs,
+                         minibatches=minibatches,
+                         entropy_coeff=entropy_coeff, **kwargs)
+
+    def _make_loss(self, actor, critic, *, clip_epsilon, entropy_coeff):
+        from rl_tpu.objectives import A2CLoss
+
+        return A2CLoss(actor, critic, entropy_coeff=entropy_coeff)
+
+
+class ReinforceTrainer(PPOTrainer):
+    """REINFORCE with a learned state-value baseline (reference
+    ``ReinforceTrainer``)."""
+
+    def __init__(self, env, actor, critic, *, num_epochs: int = 1,
+                 minibatches: int = 1, **kwargs):
+        super().__init__(env, actor, critic, num_epochs=num_epochs,
+                         minibatches=minibatches, **kwargs)
+
+    def _make_loss(self, actor, critic, *, clip_epsilon, entropy_coeff):
+        from rl_tpu.objectives import ReinforceLoss
+
+        return ReinforceLoss(actor, critic)
+
+
+class GenericOffPolicyTrainer(_OffPolicyTrainer):
+    """Off-policy trainer over an arbitrary LossModule.
+
+    The escape hatch the reference gets from hand-rolled sota scripts:
+    ``loss_module`` is any LossModule whose ``init`` builds the full param
+    TDict; ``policy`` maps ``(params, td, key) -> td`` for collection;
+    ``target_keys`` lists ``(target, source)`` param sub-trees to polyak
+    after every gradient step.  Used by the CrossQ/REDQ/DiscreteSAC sota
+    scripts.
+    """
+
+    def __init__(self, env, loss_module, policy, *, target_keys=(),
+                 lr=3e-4, tau=0.005, frames_per_batch=128,
+                 total_frames=100_000, buffer_capacity=1_000_000,
+                 batch_size=256, utd=4, init_random_frames=0, seed=0,
+                 **base_kwargs):
+        super().__init__(
+            frames_per_batch=frames_per_batch, total_frames=total_frames,
+            buffer_capacity=buffer_capacity, batch_size=batch_size, utd=utd,
+            seed=seed, **base_kwargs,
+        )
+        self.env = env
+        self.loss_module = loss_module
+        self.target_keys = [(t, s) for t, s in target_keys]
+        self.updater = SoftUpdate(tau=tau)
+        self.collector = Collector(
+            env, policy, frames_per_batch=frames_per_batch,
+            init_random_frames=init_random_frames,
+        )
+        key = jax.random.PRNGKey(seed)
+        _, td0 = env.reset(key)
+        example = jax.tree.map(
+            lambda x: jnp.asarray(x)[:1] if env.batch_size
+            else jnp.asarray(x)[None], td0)
+        self.params = loss_module.init(key, example)
+        self.tx = optax.adam(lr)
+        self.opt_state = self.tx.init(self.params)
+
+    def _grad_and_update(self, params, opt_state, mb, k, idx):
+        grads = jax.grad(lambda p: self.loss_module(p, mb, k)[0])(params)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    def _post_update(self, params, idx=0):
+        for tgt, src in self.target_keys:
+            if tgt in params:
+                params = params.set(tgt, self.updater(params[tgt], params[src]))
+        return params
