@@ -121,9 +121,13 @@ class GPWorldModel:
         return unscented_transform(m, S, dyn)
 
 
-def unscented_transform(m, S, fn, *, alpha: float = 1e-1, kappa: float = 0.0):
+def unscented_transform(m, S, fn, *, alpha: float = 1.0, kappa: float = 0.0):
     """Sigma-point propagation of N(m, S) through ``fn`` returning
-    (mean, extra_diag_var).  Standard UT with 2D+1 points."""
+    (mean, extra_diag_var).  Standard UT with 2D+1 points.
+
+    ``alpha`` defaults to 1 (λ=0): the textbook small-α choice gives a
+    large negative center weight that loses PSD-ness in float32 over long
+    PILCO horizons (observed: NaN at horizon 25 on Pendulum)."""
     D = m.shape[-1]
     lam = alpha * alpha * (D + kappa) - D
     S_j = S + 1e-9 * jnp.eye(D)
@@ -139,6 +143,7 @@ def unscented_transform(m, S, fn, *, alpha: float = 1e-1, kappa: float = 0.0):
     diff = ys - m_out
     S_out = jnp.einsum("i,ij,ik->jk", w_c, diff, diff)
     S_out = S_out + jnp.diag(jnp.sum(w_m[:, None] * extra_vars, 0))
+    S_out = 0.5 * (S_out + S_out.T)  # keep symmetric for downstream chol
     return m_out, S_out
 
 

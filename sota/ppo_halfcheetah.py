@@ -1,0 +1,65 @@
+"""PPO on HalfCheetah (MuJoCo via the gymnasium host bridge) — the
+continuous-control baseline config of
+``/root/reference/sota-implementations/ppo/ppo_mujoco.py``.  Run::
+
+    python sota/ppo_halfcheetah.py [total_frames=1000000]
+"""
+import sys
+
+import jax
+
+from rl_tpu.config import apply_overrides
+from rl_tpu.collectors.evaluator import Evaluator
+from rl_tpu.envs.libs import GymEnv
+from rl_tpu.modules import (MLP, NormalParamExtractor, ProbabilisticActor,
+                            Seq, TanhNormal, TDModule, ValueOperator)
+from rl_tpu.record import CSVLogger, generate_exp_name
+from rl_tpu.trainers import PPOTrainer
+
+DEFAULTS = dict(
+    env_name="HalfCheetah-v4", num_envs=8, frames_per_batch=2048,
+    total_frames=1_000_000, num_epochs=10, minibatches=32, lr_actor=3e-4,
+    lr_critic=3e-4, gamma=0.99, lmbda=0.95, clip_epsilon=0.2,
+    entropy_coeff=0.0, seed=0, logger="csv",
+)
+
+
+def main(cfg=None):
+    cfg = {**DEFAULTS, **(cfg or {})}
+    env = GymEnv(cfg["env_name"], num_envs=cfg["num_envs"])
+    act_spec = env.action_spec
+    act_dim = act_spec.shape[-1]
+    net = Seq(
+        TDModule(MLP(out_features=2 * act_dim, num_cells=(64, 64),
+                     activation="tanh"), ["observation"], ["pre"]),
+        TDModule(NormalParamExtractor(), ["pre"], ["loc", "scale"]),
+    )
+    actor = ProbabilisticActor(
+        net, TanhNormal,
+        dist_kwargs={"low": float(act_spec.low.min()),
+                     "high": float(act_spec.high.max())},
+    )
+    critic = ValueOperator(MLP(out_features=1, num_cells=(64, 64),
+                               activation="tanh"))
+    logger = (CSVLogger(generate_exp_name("ppo", cfg["env_name"]))
+              if cfg["logger"] == "csv" else None)
+    evaluator = Evaluator(env, lambda p, td, k: actor(p["actor"], td, key=k),
+                          max_steps=1000, logger=logger)
+    trainer = PPOTrainer(
+        env, actor, critic,
+        frames_per_batch=cfg["frames_per_batch"],
+        total_frames=cfg["total_frames"], num_epochs=cfg["num_epochs"],
+        minibatches=cfg["minibatches"], lr_actor=cfg["lr_actor"],
+        lr_critic=cfg["lr_critic"], gamma=cfg["gamma"], lmbda=cfg["lmbda"],
+        clip_epsilon=cfg["clip_epsilon"],
+        entropy_coeff=cfg["entropy_coeff"], seed=cfg["seed"], logger=logger,
+        evaluator=evaluator, eval_interval=10,
+    )
+    params = trainer.train()
+    stats = evaluator.evaluate(params, jax.random.PRNGKey(cfg["seed"] + 1))
+    print("final eval:", stats)
+    return params, stats
+
+
+if __name__ == "__main__":
+    main(apply_overrides({}, sys.argv[1:]))
