@@ -56,7 +56,9 @@ def instantiate(cfg: Any, **extra):
 
     dicts with ``_target_`` become objects; nested dicts/lists are
     instantiated first; dataclass configs convert via ``to_dict``.
-    ``_partial_: true`` returns a constructor instead of an instance.
+    ``_partial_: true`` returns a constructor instead of an instance;
+    ``_args_: [...]`` passes positionals (both hydra-compatible — needed
+    for var-positional constructors like ``Seq(*modules)``).
     """
     if dataclasses.is_dataclass(cfg) and not isinstance(cfg, type):
         cfg = to_dict(cfg)
@@ -64,12 +66,13 @@ def instantiate(cfg: Any, **extra):
         inner = {k: instantiate(v) for k, v in cfg.items() if not k.startswith("_")}
         if "_target_" in cfg:
             target = _resolve_target(cfg["_target_"])
+            args = [instantiate(v) for v in cfg.get("_args_", ())]
             inner.update(extra)
             if cfg.get("_partial_"):
                 import functools
 
-                return functools.partial(target, **inner)
-            return target(**inner)
+                return functools.partial(target, *args, **inner)
+            return target(*args, **inner)
         return inner
     if isinstance(cfg, (list, tuple)):
         return type(cfg)(instantiate(v) for v in cfg)

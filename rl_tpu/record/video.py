@@ -3,8 +3,9 @@
 Counterpart of the reference's VideoRecorder encoding path
 (``/root/reference/torchrl/record/recorder.py:43`` hands frames to
 torchvision/moviepy writers).  Here: animated GIF via Pillow (always
-available) and MP4 via an ``ffmpeg`` binary when present on PATH —
-otherwise ``write_video`` falls back to GIF and says so.
+available), MP4 via an ``ffmpeg`` binary when present on PATH, and a
+pure-python MJPEG AVI writer (RIFF container + Pillow JPEG frames) so a
+real video container is always producible without ffmpeg.
 
 Frames are ``[T, H, W, C]`` uint8 (HWC, TPU-native layout); float inputs
 in [0, 1] are converted.
@@ -17,7 +18,7 @@ import subprocess
 
 import numpy as np
 
-__all__ = ["write_gif", "write_mp4", "write_video"]
+__all__ = ["write_gif", "write_mp4", "write_avi", "write_video"]
 
 
 def _to_uint8_frames(video) -> np.ndarray:
@@ -31,6 +32,16 @@ def _to_uint8_frames(video) -> np.ndarray:
         arr = arr.astype(np.uint8)
     if arr.shape[-1] == 1:
         arr = np.repeat(arr, 3, -1)
+    elif arr.shape[-1] != 3:
+        # n-channel occupancy grids (MinAtar-style): colorize each channel
+        # with a distinct hue and max-combine into RGB
+        C = arr.shape[-1]
+        palette = np.array(
+            [[255, 80, 80], [80, 255, 80], [80, 120, 255], [255, 255, 80],
+             [255, 80, 255], [80, 255, 255], [255, 160, 60], [200, 200, 200]],
+            np.float32)
+        pal = palette[np.arange(C) % len(palette)]  # [C, 3]
+        arr = np.max(arr[..., None] / 255.0 * pal, axis=-2).astype(np.uint8)
     return arr
 
 
@@ -70,14 +81,65 @@ def write_mp4(video, path: str, fps: int = 30) -> str:
     return path
 
 
+def write_avi(video, path: str, fps: int = 30, quality: int = 90) -> str:
+    """Encode frames as an MJPEG AVI — pure python (struct + Pillow JPEG),
+    no external binary.  Every mainstream player decodes MJPG; this is the
+    no-ffmpeg stand-in for the reference's mp4 output."""
+    import io
+    import struct
+
+    from PIL import Image
+
+    arr = _to_uint8_frames(video)
+    T, H, W, _ = arr.shape
+    jpegs = []
+    for f in arr:
+        buf = io.BytesIO()
+        Image.fromarray(f).save(buf, format="JPEG", quality=quality)
+        data = buf.getvalue()
+        if len(data) % 2:  # RIFF chunks are word-aligned
+            data += b"\x00"
+        jpegs.append(data)
+    max_size = max(len(j) for j in jpegs)
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(payload)) + payload
+
+    def lst(four: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", four + payload)
+
+    avih = struct.pack(
+        "<14I", int(1e6 // fps), max_size * fps, 0, 0x10,  # HASINDEX
+        T, 0, 1, max_size, W, H, 0, 0, 0, 0)
+    strh = struct.pack(
+        "<4s4sI2H8I4h", b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, T,
+        max_size, 0xFFFFFFFF, 0, 0, 0, W, H)
+    strf = struct.pack("<I2i2H2I2i2I", 40, W, H, 1, 24, 0x47504A4D,  # 'MJPG'
+                       W * H * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_payload = b"".join(chunk(b"00dc", j) for j in jpegs)
+    movi = lst(b"movi", movi_payload)
+    # idx1: offsets relative to the start of the 'movi' fourcc + 4
+    idx, off = [], 4
+    for j in jpegs:
+        idx.append(struct.pack("<4s3I", b"00dc", 0x10, off, len(j)))
+        off += 8 + len(j)
+    idx1 = chunk(b"idx1", b"".join(idx))
+    body = b"AVI " + hdrl + movi + idx1
+    with open(path, "wb") as f:
+        f.write(chunk(b"RIFF", body))
+    return path
+
+
 def write_video(video, path: str, fps: int = 30) -> str:
-    """Encode to the container implied by ``path``'s extension, falling
-    back to GIF (with a .gif suffix swap) when mp4 encoding is
-    unavailable."""
+    """Encode to the container implied by ``path``'s extension.  ``.mp4``
+    falls back to MJPEG AVI (suffix swap) when no ffmpeg binary exists."""
     if path.endswith(".gif"):
         return write_gif(video, path, fps)
+    if path.endswith(".avi"):
+        return write_avi(video, path, fps)
     try:
         return write_mp4(video, path, fps)
     except RuntimeError:
-        gif_path = os.path.splitext(path)[0] + ".gif"
-        return write_gif(video, gif_path, fps)
+        return write_avi(video, os.path.splitext(path)[0] + ".avi", fps)

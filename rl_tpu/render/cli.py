@@ -42,8 +42,19 @@ def render_checkpoint(checkpoint: str | None, env, policy=None, *,
     if pixels_key in ys:
         arrays["pixels"] = np.asarray(ys[pixels_key])
     if out:
-        np.savez(out, **arrays)
-        stats["out"] = out
+        if out.endswith((".gif", ".avi", ".mp4")):
+            # video container output (reference rlrender mp4/gif path)
+            if "pixels" not in arrays:
+                raise ValueError(f"env wrote no {pixels_key} to render")
+            from rl_tpu.record.video import write_video
+
+            px = arrays["pixels"]
+            if px.ndim == 5:  # [T, B, H, W, C] → first env
+                px = px[:, 0]
+            stats["out"] = write_video(px, out)
+        else:
+            np.savez(out, **arrays)
+            stats["out"] = out
     return stats
 
 

@@ -72,3 +72,35 @@ def test_nested_dataclass_to_dict():
     assert d["_target_"].endswith("RewardScaling") and d["scale"] == 0.5
     obj = instantiate(d)
     assert type(obj).__name__ == "RewardScaling"
+
+
+def test_args_and_partial_build_actor_graph():
+    """_args_ positionals + _partial_ class refs (hydra parity) assemble a
+    Seq/ProbabilisticActor graph straight from YAML."""
+    yaml_src = """
+    _target_: rl_tpu.modules.ProbabilisticActor
+    module:
+      _target_: rl_tpu.modules.Seq
+      _args_:
+        - _target_: rl_tpu.modules.TDModule
+          module: {_target_: rl_tpu.modules.MLP, out_features: 2, num_cells: [8]}
+          in_keys: [observation]
+          out_keys: [pre]
+        - _target_: rl_tpu.modules.TDModule
+          module: {_target_: rl_tpu.modules.NormalParamExtractor}
+          in_keys: [pre]
+          out_keys: [loc, scale]
+    dist_class: {_target_: rl_tpu.modules.TanhNormal, _partial_: true}
+    dist_kwargs: {low: -2.0, high: 2.0}
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from rl_tpu.data import TDict
+
+    actor = instantiate(load_yaml(yaml_src))
+    td = TDict(observation=jnp.ones((3, 4)))
+    params = actor.init(jax.random.PRNGKey(0), td)
+    out = actor(params, td, key=jax.random.PRNGKey(1))
+    assert out["action"].shape == (3, 1)
+    assert bool(jnp.all(jnp.abs(out["action"]) <= 2.0))

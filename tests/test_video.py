@@ -1,0 +1,73 @@
+"""Video encoding tests — GIF + pure-python MJPEG AVI (the no-ffmpeg
+stand-in for the reference recorder's mp4 output, recorder.py:43)."""
+import io
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from rl_tpu.record.video import write_avi, write_gif, write_video
+
+
+@pytest.fixture
+def frames():
+    rng = np.random.default_rng(0)
+    return (rng.random((8, 24, 32, 3)) * 255).astype(np.uint8)
+
+
+class TestAvi:
+    def test_riff_structure(self, frames, tmp_path):
+        p = write_avi(frames, str(tmp_path / "v.avi"), fps=10)
+        data = open(p, "rb").read()
+        assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+        assert struct.unpack("<I", data[4:8])[0] == len(data) - 8
+        for marker in (b"hdrl", b"movi", b"idx1", b"MJPG", b"00dc"):
+            assert marker in data, marker
+
+    def test_frames_decode(self, frames, tmp_path):
+        from PIL import Image
+
+        p = write_avi(frames, str(tmp_path / "v.avi"), fps=10)
+        data = open(p, "rb").read()
+        i = data.find(b"00dc")
+        n = struct.unpack("<I", data[i + 4:i + 8])[0]
+        img = Image.open(io.BytesIO(data[i + 8:i + 8 + n]))
+        img.load()
+        assert img.size == (32, 24)
+
+    def test_multichannel_colorized(self, tmp_path):
+        # MinAtar-style 6-channel occupancy grid must colorize, not crash
+        grid = np.zeros((4, 10, 10, 6), np.float32)
+        grid[:, 2, 3, 1] = 1.0
+        p = write_avi(grid, str(tmp_path / "g.avi"))
+        assert os.path.getsize(p) > 0
+
+    def test_mp4_falls_back_to_avi(self, frames, tmp_path):
+        # no ffmpeg in this image → write_video swaps the suffix
+        p = write_video(frames, str(tmp_path / "v.mp4"), fps=10)
+        assert p.endswith(".avi") and os.path.exists(p)
+
+
+class TestGif:
+    def test_roundtrip(self, frames, tmp_path):
+        from PIL import Image
+
+        p = write_gif(frames, str(tmp_path / "v.gif"), fps=10)
+        img = Image.open(p)
+        assert img.n_frames == 8
+
+    def test_float_input(self, tmp_path):
+        vid = np.random.rand(3, 8, 8, 3).astype(np.float32)
+        p = write_gif(vid, str(tmp_path / "f.gif"))
+        assert os.path.getsize(p) > 0
+
+
+class TestRenderCli:
+    def test_video_out(self, tmp_path):
+        from rl_tpu.render.cli import main
+
+        stats = main(["--env", "rl_tpu.envs.minatar.BreakoutEnv",
+                      "--steps", "10",
+                      "--out", str(tmp_path / "b.avi")])
+        assert os.path.exists(stats["out"])
