@@ -168,6 +168,16 @@ class _RNNModuleBase:
             fused = flax_gru_params_to_fused(params)
             outs = gru_sequence(x, jnp.asarray(is_init), carry0, fused)
             carry = outs[-1]
+        elif (self.backend == "pallas" and isinstance(self, LSTMModule)
+              and len(batch) == 1):
+            from rl_tpu.ops.rnn_pallas import (flax_lstm_params_to_fused,
+                                               lstm_sequence)
+
+            fused = flax_lstm_params_to_fused(params)
+            c0, h0 = carry0  # flax LSTM carry order is (c, h)
+            hs, cs = lstm_sequence(x, jnp.asarray(is_init), h0, c0, fused)
+            outs = hs
+            carry = (cs[-1], hs[-1])
         else:
             def body(carry, xs):
                 x_t, init_t = xs

@@ -96,3 +96,84 @@ class TestGRUModulePallasBackend:
             a = m_scan(params, td)["embed"]
             b = m_pallas(params, td)["embed"]
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+from rl_tpu.ops.rnn_pallas import (
+    flax_lstm_params_to_fused,
+    lstm_sequence,
+    lstm_sequence_reference,
+)
+
+
+@pytest.fixture
+def lstm_setup(key):
+    cell = nn.OptimizedLSTMCell(features=H)
+    carry0 = (jnp.zeros((B, H)), jnp.zeros((B, H)))
+    params = cell.init(key, carry0, jnp.zeros((B, D)))["params"]
+    fused = flax_lstm_params_to_fused(params)
+    ks = jax.random.split(key, 4)
+    x = jax.random.normal(ks[0], (T, B, D))
+    is_init = jax.random.bernoulli(ks[1], 0.15, (T, B, 1))
+    h0 = jax.random.normal(ks[2], (B, H)) * 0.1
+    c0 = jax.random.normal(ks[3], (B, H)) * 0.1
+    return cell, params, fused, x, is_init, h0, c0
+
+
+class TestFusedLSTM:
+    def test_matches_flax_cell(self, lstm_setup):
+        cell, params, fused, x, is_init, h0, c0 = lstm_setup
+        hs, cs = lstm_sequence(x, is_init, h0, c0, fused)
+        carry = (c0, h0)  # flax carry order (c, h)
+        outs_h, outs_c = [], []
+        for t in range(T):
+            mask = jnp.asarray(is_init[t])
+            carry = tuple(jnp.where(mask, jnp.zeros_like(v), v) for v in carry)
+            carry, out = cell.apply({"params": params}, carry, x[t])
+            outs_c.append(carry[0])
+            outs_h.append(out)
+        np.testing.assert_allclose(np.asarray(hs), np.asarray(jnp.stack(outs_h)),
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(cs), np.asarray(jnp.stack(outs_c)),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_pallas_equals_scan_reference(self, lstm_setup):
+        cell, params, fused, x, is_init, h0, c0 = lstm_setup
+        ha, ca = lstm_sequence(x, is_init, h0, c0, fused, use_pallas=True)
+        hb, cb = lstm_sequence(x, is_init, h0, c0, fused, use_pallas=False)
+        np.testing.assert_allclose(np.asarray(ha), np.asarray(hb), rtol=1e-5,
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ca), np.asarray(cb), rtol=1e-5,
+                                   atol=1e-6)
+
+    def test_grads_flow_and_match_reference(self, lstm_setup):
+        cell, params, fused, x, is_init, h0, c0 = lstm_setup
+
+        def loss(fn):
+            def f(fp):
+                hs, cs = fn(x, is_init, h0, c0, fp)
+                return (hs**2).sum() + (cs[-1] ** 2).sum()
+            return f
+
+        g_pallas = jax.grad(loss(lambda *a: lstm_sequence(*a, use_pallas=True)))(fused)
+        g_scan = jax.grad(loss(lambda *a: lstm_sequence(*a, use_pallas=False)))(fused)
+        for k in fused:
+            np.testing.assert_allclose(np.asarray(g_pallas[k]),
+                                       np.asarray(g_scan[k]),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_module_backend_parity(self, key):
+        from rl_tpu.data import TDict
+        from rl_tpu.modules.rnn import LSTMModule, set_recurrent_mode
+
+        mod_s = LSTMModule(input_size=D, hidden_size=H, backend="scan")
+        mod_p = LSTMModule(input_size=D, hidden_size=H, backend="pallas")
+        x = jax.random.normal(key, (T, B, D))
+        is_init = jax.random.bernoulli(key, 0.2, (T, B, 1))
+        td = TDict(observation=x, is_init=is_init)
+        params = mod_s.init(key, TDict(observation=x[0]))
+        with set_recurrent_mode(True):
+            out_s = mod_s(params, td)
+            out_p = mod_p(params, td)
+        np.testing.assert_allclose(
+            np.asarray(out_s[mod_s.out_key]), np.asarray(out_p[mod_p.out_key]),
+            rtol=2e-4, atol=2e-5)
