@@ -96,16 +96,19 @@ def main() -> None:
     cstate = collector.init(key)
     step = jax.jit(train_step)
     params, opt_state, cstate, r = step(params, opt_state, cstate, key)
-    jax.block_until_ready(r)
+    float(r)  # value sync — block_until_ready alone does not reliably
+    # fence on this container's tunneled PJRT backend
 
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        key, k = jax.random.split(key)
-        params, opt_state, cstate, r = step(params, opt_state, cstate, k)
-    jax.block_until_ready(r)
-    dt = time.perf_counter() - t0
-    steps_per_s = iters * num_envs * steps / dt
+    iters = 20
+    best_dt = float("inf")
+    for _ in range(3):  # best-of-3 windows: robust to host contention
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            key, k = jax.random.split(key)
+            params, opt_state, cstate, r = step(params, opt_state, cstate, k)
+        float(r)
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    steps_per_s = iters * num_envs * steps / best_dt
     print(
         json.dumps(
             {

@@ -28,6 +28,7 @@ reference, by design:
 from __future__ import annotations
 
 import math
+import contextlib
 import multiprocessing as mp
 import os
 import time
@@ -186,19 +187,24 @@ class _MultiCollectorBase:
         self._pipes = []
         self._procs = []
         self._interrupts = []
-        for i, fn in enumerate(env_fns):
-            parent, child = ctx.Pipe()
-            intr = ctx.Event() if preemptive_threshold is not None else None
-            p = ctx.Process(
-                target=_worker_main,
-                args=(child, i, fn, policy, cfg, intr),
-                daemon=True,
-            )
-            p.start()
-            child.close()
-            self._pipes.append(parent)
-            self._procs.append(p)
-            self._interrupts.append(intr)
+        from rl_tpu.utils.subproc import cpu_worker_env
+
+        with (cpu_worker_env() if worker_device == "cpu"
+              else contextlib.nullcontext()):
+            for i, fn in enumerate(env_fns):
+                parent, child = ctx.Pipe()
+                intr = (ctx.Event() if preemptive_threshold is not None
+                        else None)
+                p = ctx.Process(
+                    target=_worker_main,
+                    args=(child, i, fn, policy, cfg, intr),
+                    daemon=True,
+                )
+                p.start()
+                child.close()
+                self._pipes.append(parent)
+                self._procs.append(p)
+                self._interrupts.append(intr)
         for i, pipe in enumerate(self._pipes):
             pipe.send(("seed", seed * 7919 + i))
         for i in range(self.num_workers):

@@ -13,8 +13,11 @@ Two layers:
   training step (device-resident replay);
 * a thin **stateful wrapper** with the reference's imperative API
   (``rb.extend(data); batch = rb.sample()``) that owns the state and a PRNG
-  key — convenience for scripts/tests.  The reference's locks/prefetch
-  threads are unnecessary: sampling is a device op issued asynchronously.
+  key — convenience for scripts/tests.  An RLock guards the stateful
+  wrapper (reference ``_replay_lock`` replay_buffers.py:447): a background
+  collector thread extending while the learner samples must not clobber
+  the other's state update.  The functional core needs no locks — state
+  threading is explicit there.
 """
 from __future__ import annotations
 
@@ -56,12 +59,30 @@ class ReplayBuffer:
         self.transform = transform
         self._state: TDict | None = None
         self._key = None
+        import threading
+
+        self._lock = threading.RLock()
         # cache jitted entry points: rebuilding jax.jit per call would
         # retrace every time
         self._jit_extend: Callable | None = None
         self._jit_add: Callable | None = None
         self._jit_sample: Callable | None = None
         self._jit_update_priority: Callable | None = None
+
+    def __getstate__(self):
+        # locks don't pickle; jitted entry points are per-process caches
+        d = dict(self.__dict__)
+        d["_lock"] = None
+        for k in ("_jit_extend", "_jit_add", "_jit_sample",
+                  "_jit_update_priority"):
+            d[k] = None
+        return d
+
+    def __setstate__(self, d):
+        import threading
+
+        self.__dict__.update(d)
+        self._lock = threading.RLock()
 
     # -- functional core ----------------------------------------------------
     def init(self, example: TDict) -> TDict:
@@ -130,40 +151,44 @@ class ReplayBuffer:
         self._key = jax.random.PRNGKey(seed)
 
     def extend(self, data: TDict):
-        if self._state is None:
-            self._state = self.init_from_batch(data)
-        if self._jit_extend is None:
-            self._jit_extend = jax.jit(self.extend_fn)
-        self._state, idx = self._jit_extend(self._state, data)
-        return idx
+        with self._lock:
+            if self._state is None:
+                self._state = self.init_from_batch(data)
+            if self._jit_extend is None:
+                self._jit_extend = jax.jit(self.extend_fn)
+            self._state, idx = self._jit_extend(self._state, data)
+            return idx
 
     def add(self, item: TDict):
-        if self._state is None:
-            self._state = self.init(item)
-        if self._jit_add is None:
-            self._jit_add = jax.jit(self.add_fn)
-        self._state, idx = self._jit_add(self._state, item)
-        return idx
+        with self._lock:
+            if self._state is None:
+                self._state = self.init(item)
+            if self._jit_add is None:
+                self._jit_add = jax.jit(self.add_fn)
+            self._state, idx = self._jit_add(self._state, item)
+            return idx
 
     def sample(self, batch_size: int | None = None, return_info: bool = False):
-        if self._state is None:
-            raise RuntimeError("buffer is empty")
-        if self._key is None:
-            self.seed()
-        self._key, k = jax.random.split(self._key)
-        if self._jit_sample is None:
-            self._jit_sample = jax.jit(
-                self.sample_fn, static_argnames=("batch_size",)
+        with self._lock:
+            if self._state is None:
+                raise RuntimeError("buffer is empty")
+            if self._key is None:
+                self.seed()
+            self._key, k = jax.random.split(self._key)
+            if self._jit_sample is None:
+                self._jit_sample = jax.jit(
+                    self.sample_fn, static_argnames=("batch_size",)
+                )
+            self._state, batch, info = self._jit_sample(
+                self._state, k, batch_size=batch_size or self.batch_size
             )
-        self._state, batch, info = self._jit_sample(
-            self._state, k, batch_size=batch_size or self.batch_size
-        )
-        return (batch, info) if return_info else batch
+            return (batch, info) if return_info else batch
 
     def update_priority(self, idx, priority):
-        if self._jit_update_priority is None:
-            self._jit_update_priority = jax.jit(self.update_priority_fn)
-        self._state = self._jit_update_priority(self._state, idx, priority)
+        with self._lock:
+            if self._jit_update_priority is None:
+                self._jit_update_priority = jax.jit(self.update_priority_fn)
+            self._state = self._jit_update_priority(self._state, idx, priority)
 
     def __len__(self):
         if self._state is None:

@@ -34,7 +34,7 @@ def unravel_key(key: NestedKey) -> tuple[str, ...]:
     """
     if isinstance(key, str):
         return (key,)
-    if isinstance(key, tuple):
+    if isinstance(key, (tuple, list)):  # lists: YAML configs can't spell tuples
         out: list[str] = []
         for part in key:
             out.extend(unravel_key(part))
@@ -43,10 +43,13 @@ def unravel_key(key: NestedKey) -> tuple[str, ...]:
 
 
 def is_leaf_key(key: Any) -> bool:
-    """True if ``key`` addresses entries (str or tuple of str), not an index."""
+    """True if ``key`` addresses entries (str or tuple/list of str), not an
+    index.  Lists qualify only when every element is itself a leaf key —
+    a list of ints stays an array index (YAML-sourced nested keys arrive
+    as lists of strings)."""
     if isinstance(key, str):
         return True
-    if isinstance(key, tuple):
+    if isinstance(key, (tuple, list)):
         return len(key) > 0 and all(is_leaf_key(k) for k in key)
     return False
 

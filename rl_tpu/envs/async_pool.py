@@ -18,6 +18,7 @@ the post-reset root under the usual ``("next", ...)`` convention.
 """
 from __future__ import annotations
 
+import contextlib
 import multiprocessing as mp
 import time
 from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
@@ -206,15 +207,20 @@ class ProcessAsyncEnvPool(AsyncEnvPool):
         self._pipes = []
         self._procs = []
         self._pending: set[int] = set()
-        for fn in env_fns:
-            parent, child = ctx.Pipe()
-            p = ctx.Process(
-                target=_pool_worker, args=(child, fn, worker_device), daemon=True
-            )
-            p.start()
-            child.close()
-            self._pipes.append(parent)
-            self._procs.append(p)
+        from rl_tpu.utils.subproc import cpu_worker_env
+
+        with (cpu_worker_env() if worker_device == "cpu"
+              else contextlib.nullcontext()):
+            for fn in env_fns:
+                parent, child = ctx.Pipe()
+                p = ctx.Process(
+                    target=_pool_worker, args=(child, fn, worker_device),
+                    daemon=True,
+                )
+                p.start()
+                child.close()
+                self._pipes.append(parent)
+                self._procs.append(p)
 
     def async_reset_send(self, seed: int = 0, env_index=None) -> None:
         idx = range(self.num_envs) if env_index is None else np.asarray(env_index)

@@ -134,10 +134,12 @@ class _PretrainedImageEmbedding(Transform):
     variant_dims = {"small": 512, "base": 768, "large": 1024}
 
     def __init__(self, in_key="pixels", out_key="embedding",
-                 variant: str = "base", params=None, del_pixels: bool = True):
+                 variant: str = "base", params=None, del_pixels: bool = True,
+                 image_size: int = 64):
         super().__init__([in_key], [out_key])
         self.in_key = in_key
         self.out_key = out_key
+        self.image_size = int(image_size)
         self.embed_dim = self.variant_dims.get(variant, 768)
         self.backbone = ConvNet(
             channels=(64, 128, 256), kernel_sizes=(7, 5, 3), strides=(2, 2, 2),
@@ -147,19 +149,30 @@ class _PretrainedImageEmbedding(Transform):
         self.params = params
         self.del_pixels = del_pixels
 
+    def _prep(self, pixels):
+        x = jnp.asarray(pixels, jnp.float32)
+        if x.max() > 1.5:
+            x = x / 255.0
+        if x.shape[-2] < self.image_size or x.shape[-3] < self.image_size:
+            # upsample small boards so the strided backbone keeps spatial
+            # extent (the reference resizes to 224 before R3M/VIP/VC1)
+            x = jax.image.resize(
+                x, x.shape[:-3] + (self.image_size, self.image_size,
+                                   x.shape[-1]), "nearest")
+        return x
+
     def _ensure_params(self, key, pixels):
         if self.params is None:
+            x = self._prep(pixels)
             kb, kh = jax.random.split(key)
-            bp = self.backbone.init(kb, pixels)
-            feats = self.backbone.apply(bp, pixels)
+            bp = self.backbone.init(kb, x)
+            feats = self.backbone.apply(bp, x)
             self.params = TDict(backbone=TDict(bp),
                                 head=TDict(self.head.init(kh, feats)))
         return self.params
 
     def _embed(self, pixels):
-        x = jnp.asarray(pixels, jnp.float32)
-        if x.max() > 1.5:
-            x = x / 255.0
+        x = self._prep(pixels)
         feats = self.backbone.apply(TDict(self.params["backbone"]).to_dict(), x)
         return jax.lax.stop_gradient(self.head.apply(TDict(self.params["head"]).to_dict(), feats))
 
@@ -212,3 +225,47 @@ class VC1Transform(_PretrainedImageEmbedding):
     def __init__(self, model_name: str = "vc1_vitb", **kw):
         kw.setdefault("out_key", "vc1_vec")
         super().__init__(variant=model_name, **kw)
+
+
+class VIPRewardTransform(VIPTransform):
+    """Embedding-distance reward shaping (reference vip.py:345).
+
+    At reset, ``goal_image`` is embedded once into ``goal_embedding``; each
+    step's reward becomes the potential-shaped decrease in embedding
+    distance to the goal:
+    ``r = −‖φ(s') − φ(g)‖ + ‖φ(s) − φ(g)‖``.
+    """
+
+    def __init__(self, goal_key: str = "goal_image", **kw):
+        kw.setdefault("del_pixels", False)
+        super().__init__(**kw)
+        self.goal_key = goal_key
+
+    def reset(self, key, tstate, td):
+        _, td = super().reset(key, tstate, td)
+        if self.goal_key not in td:
+            raise KeyError(
+                f"VIPRewardTransform.reset() requires a {self.goal_key!r} "
+                f"key in the reset td")
+        goal_emb = self._embed(td[self.goal_key])
+        # drop the goal image so reset/step td structures match (the
+        # auto-reset where-select needs identical pytrees)
+        td = td.exclude(self.goal_key).set("goal_embedding", goal_emb)
+        return TDict(goal=goal_emb, last=jnp.asarray(td[self.out_key])), td
+
+    def step(self, tstate, next_td):
+        _, next_td = super().step(None, next_td)
+        cur = jnp.asarray(next_td[self.out_key])
+        goal = tstate["goal"]
+        last = tstate["last"]
+        reward = (
+            -jnp.linalg.norm(cur - goal, axis=-1)
+            + jnp.linalg.norm(last - goal, axis=-1)
+        )[..., None]
+        next_td = next_td.set("reward", reward)
+        next_td = next_td.set("goal_embedding", goal)
+        return TDict(goal=goal, last=cur), next_td
+
+    def on_done(self, tstate_reset, tstate_stepped, done):
+        # a fresh episode re-embeds its goal; keep the reset branch
+        return super().on_done(tstate_reset, tstate_stepped, done)

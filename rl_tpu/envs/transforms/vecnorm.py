@@ -107,3 +107,40 @@ class VecNorm(Transform):
                 leaf = spec[kin]
                 spec[kout] = Unbounded(leaf.shape, jnp.float32)
         return spec
+
+
+class VecNormV2(VecNorm):
+    """Reference ``VecNormV2`` (vecnorm.py:34) API surface over the same
+    running statistics.  ``stateful=False`` freezes updates and requires
+    stats to be provided via ``loc``/``scale`` at construction (the
+    stateless mode the reference uses for eval workers)."""
+
+    def __init__(self, in_keys=("observation",), out_keys=None, *,
+                 stateful: bool = True, decay: float = 0.9999,
+                 eps: float = 1e-4, loc=None, scale=None, **kw):
+        super().__init__(in_keys, out_keys, decay=decay, eps=eps,
+                         frozen=not stateful, **kw)
+        self.stateful = stateful
+        self._loc = loc
+        self._scale = scale
+
+    def freeze(self):
+        self.frozen = True
+        return self
+
+    def unfreeze(self):
+        self.frozen = False
+        return self
+
+    def _init_stats(self, value):
+        if self._loc is not None:
+            return TDict(
+                mean=jnp.asarray(self._loc, jnp.float32),
+                var=jnp.asarray(self._scale, jnp.float32) ** 2,
+                count=jnp.ones((), jnp.float32),
+            )
+        return super()._init_stats(value)
+
+
+class RunningMeanStd(VecNormV2):
+    """Alias with the gym-style name (reference vecnorm.py helper)."""

@@ -21,6 +21,7 @@ from rl_tpu.data import TDict
 from .models import MLP, ConvNet
 
 __all__ = ["MultiAgentMLP", "MultiAgentConvNet", "VDNMixer", "QMixer",
+           "MultiAgentPolicyNet", "CentralizedCritic", "IndependentCritic",
            "CrossCriticGroupSpec", "CrossGroupCritic"]
 
 
@@ -286,3 +287,67 @@ class CrossGroupCritic(TDModule):
             in_keys=[s.obs_key for s in self.group_specs.values()],
             out_keys=[s.value_key for s in self.group_specs.values()],
         )
+
+
+class MultiAgentPolicyNet:
+    """Per-agent policy-head adapter: ``("agents","observation") → logits``
+    (the sota multiagent scripts' actor net, promoted so declarative YAML
+    configs can reference it; reference multiagent sota utils)."""
+
+    in_keys = [("agents", "observation")]
+    out_keys = ["logits"]
+
+    def __init__(self, n_agents: int, out_features: int,
+                 num_cells=(128, 128), share_params: bool = True):
+        self.net = MultiAgentMLP(n_agents, out_features=out_features,
+                                 num_cells=tuple(num_cells),
+                                 share_params=share_params)
+
+    def init(self, key, td):
+        return self.net.init(key, jnp.asarray(td["agents", "observation"]))
+
+    def __call__(self, params, td, key=None):
+        return td.set(
+            "logits", self.net(params, jnp.asarray(td["agents", "observation"])))
+
+
+class CentralizedCritic:
+    """MAPPO critic: one value from the concatenated team observation."""
+
+    in_keys = [("agents", "observation")]
+    out_keys = ["state_value"]
+
+    def __init__(self, n_agents: int, num_cells=(256, 256)):
+        self.net = MultiAgentMLP(1, out_features=1, share_params=True,
+                                 num_cells=tuple(num_cells))
+
+    def _flat(self, td):
+        obs = jnp.asarray(td["agents", "observation"])
+        return obs.reshape(obs.shape[:-2] + (1, -1))
+
+    def init(self, key, td):
+        return self.net.init(key, self._flat(td))
+
+    def __call__(self, params, td, key=None):
+        return td.set("state_value",
+                      self.net(params, self._flat(td)).squeeze(-2))
+
+
+class IndependentCritic:
+    """IPPO critic: per-agent values, mean-pooled to one baseline (shared
+    team reward)."""
+
+    in_keys = [("agents", "observation")]
+    out_keys = ["state_value"]
+
+    def __init__(self, n_agents: int, num_cells=(128, 128)):
+        self.net = MultiAgentMLP(n_agents, out_features=1,
+                                 share_params=False,
+                                 num_cells=tuple(num_cells))
+
+    def init(self, key, td):
+        return self.net.init(key, jnp.asarray(td["agents", "observation"]))
+
+    def __call__(self, params, td, key=None):
+        v = self.net(params, jnp.asarray(td["agents", "observation"]))
+        return td.set("state_value", v.mean(-2))

@@ -346,6 +346,16 @@ class ActorValueOperator:
         td = self.trunk(params["trunk"], td)
         return self.value(params["value"], td)
 
+    def get_dist(self, params, td, key=None):
+        """Distribution through the shared trunk (for shared-params losses:
+        PPOLoss(..., shared_params=True))."""
+        td = self.trunk(params["trunk"], td)
+        return self.actor.get_dist(params["actor"], td, key=key)
+
+    @property
+    def out_key(self):
+        return getattr(self.actor, "out_key", "action")
+
 
 class TanhModule:
     """Map an unbounded key into bounds via tanh (reference actors.py:2066)."""

@@ -34,9 +34,14 @@ class PPOLoss(LossModule):
         entropy_bonus: bool = True,
         log_prob_key: str = "sample_log_prob",
         clip_value: float | None = None,
+        shared_params: bool = False,
     ):
         self.actor = actor
         self.critic = critic
+        # shared_params=True: actor and critic read the SAME param tree
+        # (shared-trunk ActorValueOperator, reference common-module PPO) —
+        # init defers to the actor and no per-role subtree indexing happens
+        self.shared_params = shared_params
         self.entropy_coeff = entropy_coeff
         self.critic_coeff = critic_coeff
         self.loss_critic_type = loss_critic_type
@@ -46,12 +51,15 @@ class PPOLoss(LossModule):
         self.clip_value = clip_value
 
     def init(self, key, td: TDict) -> TDict:
+        if self.shared_params:
+            return TDict(self.actor.init(key, td))
         k1, k2 = jax.random.split(key)
         return TDict(actor=self.actor.init(k1, td), critic=self.critic.init(k2, td))
 
     # -- pieces -------------------------------------------------------------
     def _log_weight(self, params, td: TDict, key=None):
-        dist, _ = self.actor.get_dist(params["actor"], td, key=key)
+        p = params if self.shared_params else params["actor"]
+        dist, _ = self.actor.get_dist(p, td, key=key)
         action_key = getattr(self.actor, "out_key", "action")
         log_prob = dist.log_prob(td[action_key])
         prev_log_prob = jax.lax.stop_gradient(jnp.asarray(td[self.log_prob_key]))
@@ -65,7 +73,8 @@ class PPOLoss(LossModule):
             return -log_prob
 
     def loss_critic(self, params, td: TDict):
-        td_v = self.critic(params["critic"], td)
+        p = params if self.shared_params else params["critic"]
+        td_v = self.critic(p, td)
         value = td_v["state_value"]
         target = jax.lax.stop_gradient(jnp.asarray(td["value_target"]))
         loss = distance_loss(value, target, self.loss_critic_type)

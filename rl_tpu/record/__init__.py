@@ -1,6 +1,7 @@
 from .loggers import (
     Logger,
     CSVLogger,
+    ProcessLogger,
     TensorboardLogger,
     WandbLogger,
     MLFlowLogger,
@@ -11,6 +12,7 @@ from .loggers import (
 __all__ = [
     "Logger",
     "CSVLogger",
+    "ProcessLogger",
     "TensorboardLogger",
     "WandbLogger",
     "MLFlowLogger",
@@ -18,4 +20,4 @@ __all__ = [
     "get_logger",
 ]
 
-from .video import write_gif, write_mp4, write_video
+from .video import write_avi, write_gif, write_mp4, write_video

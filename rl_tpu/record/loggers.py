@@ -21,6 +21,7 @@ import numpy as np
 __all__ = [
     "Logger",
     "CSVLogger",
+    "ProcessLogger",
     "TensorboardLogger",
     "WandbLogger",
     "MLFlowLogger",
@@ -191,3 +192,64 @@ def get_logger(logger_type: str, logger_name: str, experiment_name: str, **kwarg
     if logger_type == "mlflow":
         return MLFlowLogger(experiment_name, **kwargs)
     raise ValueError(f"unknown logger_type {logger_type}")
+
+
+class ProcessLogger(Logger):
+    """Cross-process logger proxy (reference loggers/process.py:110/132).
+
+    Worker processes can't (or shouldn't) open their own logger backends;
+    ``ProcessLogger.client()`` returns a picklable handle that forwards
+    ``log_scalar``/``log_hparams`` records through an mp.Queue, drained by
+    a daemon thread in the owning process into the wrapped logger.
+    """
+
+    def __init__(self, logger: Logger, ctx=None):
+        super().__init__(logger.exp_name)
+        import multiprocessing as mp
+        import threading
+
+        self._logger = logger
+        self._queue = (ctx or mp.get_context("spawn")).Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._drain, daemon=True)
+        self._thread.start()
+
+    def _drain(self):
+        import queue as _q
+
+        while not self._stop.is_set():
+            try:
+                kind, payload = self._queue.get(timeout=0.2)
+            except (_q.Empty, OSError, EOFError):
+                continue
+            if kind == "scalar":
+                self._logger.log_scalar(*payload)
+            elif kind == "hparams":
+                self._logger.log_hparams(payload)
+
+    def client(self) -> "_ProcessLoggerClient":
+        """Picklable worker-side handle (reference _LoggerClient)."""
+        return _ProcessLoggerClient(self._queue)
+
+    def log_scalar(self, name, value, step=None):
+        self._logger.log_scalar(name, value, step=step)
+
+    def log_hparams(self, cfg: dict):
+        self._logger.log_hparams(cfg)
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=2.0)
+        if hasattr(self._logger, "close"):
+            self._logger.close()
+
+
+class _ProcessLoggerClient:
+    def __init__(self, queue):
+        self._queue = queue
+
+    def log_scalar(self, name, value, step=None):
+        self._queue.put(("scalar", (name, float(value), step)))
+
+    def log_hparams(self, cfg: dict):
+        self._queue.put(("hparams", dict(cfg)))

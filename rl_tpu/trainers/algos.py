@@ -720,3 +720,24 @@ class GenericOffPolicyTrainer(_OffPolicyTrainer):
             if tgt in params:
                 params = params.set(tgt, self.updater(params[tgt], params[src]))
         return params
+
+
+class MultiAgentPPOTrainer(PPOTrainer):
+    """MAPPO/IPPO over grouped ("agents", ...) batches (reference
+    sota-implementations/multiagent_trainer + trainers/algorithms): the
+    PPO collect→GAE→update shape with the multi-agent clipped objective.
+    ``variant``: "mappo" (centralized critic loss) or "ippo"."""
+
+    def __init__(self, env, actor, critic, *, variant: str = "mappo",
+                 **kwargs):
+        if variant not in ("mappo", "ippo"):
+            raise ValueError(f"variant must be mappo|ippo, got {variant}")
+        self._variant = variant
+        super().__init__(env, actor, critic, **kwargs)
+
+    def _make_loss(self, actor, critic, *, clip_epsilon, entropy_coeff):
+        from rl_tpu.objectives import IPPOLoss, MAPPOLoss
+
+        cls = MAPPOLoss if self._variant == "mappo" else IPPOLoss
+        return cls(actor, critic, clip_epsilon=clip_epsilon,
+                   entropy_coeff=entropy_coeff)

@@ -1,4 +1,5 @@
 from .timeit import timeit
+from .subproc import cpu_worker_env
 from .seeding import seed_generator, key_from_seed, split_key, fold_in
 from .profiling import (
     profiling_enabled,
@@ -9,6 +10,7 @@ from .profiling import (
 )
 
 __all__ = [
+    "cpu_worker_env",
     "timeit",
     "seed_generator",
     "key_from_seed",

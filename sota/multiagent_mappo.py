@@ -14,7 +14,9 @@ from rl_tpu.config import apply_overrides
 from rl_tpu.collectors.evaluator import Evaluator
 from rl_tpu.envs import BatchedEnv, MultiAgentNavEnv
 from rl_tpu.modules import Categorical, ProbabilisticActor
-from rl_tpu.modules.multiagent import MultiAgentMLP
+from rl_tpu.modules.multiagent import (CentralizedCritic,
+                                       IndependentCritic,
+                                       MultiAgentPolicyNet)
 from rl_tpu.objectives import MAPPOLoss, IPPOLoss
 from rl_tpu.record import CSVLogger, generate_exp_name
 from rl_tpu.trainers import PPOTrainer
@@ -26,64 +28,6 @@ DEFAULTS = dict(
     gamma=0.95, lmbda=0.9, clip_epsilon=0.2, entropy_coeff=0.01,
     seed=0, logger="csv",
 )
-
-
-class MarlActorNet:
-    """Per-agent policy logits over the 5 discrete moves."""
-
-    in_keys = [("agents", "observation")]
-    out_keys = ["logits"]
-
-    def __init__(self, n_agents):
-        self.net = MultiAgentMLP(n_agents, out_features=5,
-                                 num_cells=(128, 128))
-
-    def init(self, key, td):
-        return self.net.init(key, jnp.asarray(td["agents", "observation"]))
-
-    def __call__(self, params, td, key=None):
-        return td.set("logits",
-                      self.net(params, jnp.asarray(td["agents", "observation"])))
-
-
-class CentralCritic:
-    """MAPPO: one value from the concatenated team observation."""
-
-    in_keys = [("agents", "observation")]
-    out_keys = ["state_value"]
-
-    def __init__(self, n_agents):
-        self.net = MultiAgentMLP(1, out_features=1, share_params=True,
-                                 num_cells=(256, 256))
-
-    def _flat(self, td):
-        obs = jnp.asarray(td["agents", "observation"])
-        return obs.reshape(obs.shape[:-2] + (1, -1))
-
-    def init(self, key, td):
-        return self.net.init(key, self._flat(td))
-
-    def __call__(self, params, td, key=None):
-        return td.set("state_value",
-                      self.net(params, self._flat(td)).squeeze(-2))
-
-
-class IndependentCritic:
-    """IPPO: per-agent values, mean-pooled to one baseline (shared reward)."""
-
-    in_keys = [("agents", "observation")]
-    out_keys = ["state_value"]
-
-    def __init__(self, n_agents):
-        self.net = MultiAgentMLP(n_agents, out_features=1,
-                                 share_params=False, num_cells=(128, 128))
-
-    def init(self, key, td):
-        return self.net.init(key, jnp.asarray(td["agents", "observation"]))
-
-    def __call__(self, params, td, key=None):
-        v = self.net(params, jnp.asarray(td["agents", "observation"]))
-        return td.set("state_value", v.mean(-2))
 
 
 class MarlPPOTrainer(PPOTrainer):
@@ -102,11 +46,11 @@ def main(cfg=None):
     n = cfg["n_agents"]
     env = BatchedEnv(MultiAgentNavEnv(n), cfg["num_envs"])
     actor = ProbabilisticActor(
-        MarlActorNet(n), Categorical, dist_keys=["logits"],
+        MultiAgentPolicyNet(n, out_features=5), Categorical, dist_keys=["logits"],
         out_key=("agents", "action"),
         log_prob_key=("agents", "sample_log_prob"),
     )
-    critic = (CentralCritic(n) if cfg["variant"] == "mappo"
+    critic = (CentralizedCritic(n) if cfg["variant"] == "mappo"
               else IndependentCritic(n))
     logger = (CSVLogger(generate_exp_name(cfg["variant"], "nav"))
               if cfg["logger"] == "csv" else None)

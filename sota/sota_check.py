@@ -73,6 +73,7 @@ TRAINER_YAMLS = {
     "dqn_trainer.yaml": ["trainer.total_frames=1024"],
     "iql_trainer.yaml": ["trainer.gradient_steps=200",
                          "trainer.dataset.frames=2000"],
+    "multiagent_trainer.yaml": ["trainer.total_frames=4096"],
     "cql_trainer.yaml": ["trainer.gradient_steps=200",
                          "trainer.dataset.frames=2000"],
 }

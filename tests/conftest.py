@@ -11,6 +11,11 @@ import os
 # plugin and overrides JAX_PLATFORMS, so the env var alone is not enough; the
 # config update below wins as long as no backend has been initialized yet.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Children spawned by multiprocess tests re-run site hooks; disable this
+# container's TPU PJRT auto-registration for them (each registration
+# attempt blocks on the single-session tunnel grant for ~80 s).
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+os.environ["RLTPU_DEVICE"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
