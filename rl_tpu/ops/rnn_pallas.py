@@ -19,6 +19,14 @@ hidden-size padding, fwd+bwd).  Design:
   everywhere while the forward hot path is fused.
 
 Falls back to interpreter mode off-TPU so tests run on CPU.
+
+Measured on 1x v5e with value-synced timing (block_until_ready does not
+fence on this container's tunneled backend): the GRU kernel is ~1.2x over
+the XLA scan at large T*B (T=256, B=1024, H=128) and roughly at parity
+below that; the LSTM kernel currently trails the XLA scan (0.7-0.8x) —
+XLA's fused scan is already near the HBM bound for the 4-gate cell, so
+``backend="scan"`` (the module default) is the right choice for LSTM and
+for small GRU shapes.
 """
 from __future__ import annotations
 
