@@ -196,3 +196,43 @@ class TestStorageCheckpoint:
         np.testing.assert_allclose(np.asarray(loaded[("data", "n", "y")]),
                                    np.asarray(state[("data", "n", "y")]))
         assert int(loaded["size"]) == 2
+
+
+class TestNamedDatasets:
+    """Named-dataset surface (reference datasets/common.py:21 wrappers)."""
+
+    def _write_hdf5(self, tmp_path, name, n=64):
+        import h5py
+
+        p = str(tmp_path / f"{name}.hdf5")
+        rng = np.random.default_rng(0)
+        with h5py.File(p, "w") as f:
+            f["observations"] = rng.normal(size=(n, 3)).astype(np.float32)
+            f["actions"] = rng.normal(size=(n, 1)).astype(np.float32)
+            f["rewards"] = rng.normal(size=(n,)).astype(np.float32)
+            f["terminals"] = np.zeros(n, bool)
+        return p
+
+    def test_hdf5_load_and_sample(self, tmp_path):
+        from rl_tpu.data import D4RLExperienceReplay
+
+        self._write_hdf5(tmp_path, "pen-expert-v1")
+        rb = D4RLExperienceReplay("pen-expert-v1", root=str(tmp_path),
+                                  batch_size=16)
+        rb.seed(0)
+        b = rb.sample()
+        assert b["observation"].shape == (16, 3)
+        assert b["next", "done"].shape == (16, 1)
+        assert rb.num_transitions == 64
+
+    def test_download_gated(self):
+        from rl_tpu.data import MinariExperienceReplay
+
+        with pytest.raises(RuntimeError, match="no network egress"):
+            MinariExperienceReplay("D4RL/door-human-v2", download=True)
+
+    def test_root_required(self):
+        from rl_tpu.data import OpenXExperienceReplay
+
+        with pytest.raises(ValueError, match="root"):
+            OpenXExperienceReplay("bridge")
