@@ -6,4 +6,8 @@ __all__ = [
     "split_trajectories",
     "MultiSyncCollector",
     "MultiAsyncCollector",
+    "RayCollector",
+    "RPCCollector",
+    "DistributedSyncCollector",
 ]
+from .gated import RayCollector, RPCCollector, DistributedSyncCollector

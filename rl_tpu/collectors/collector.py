@@ -209,6 +209,10 @@ class Collector:
         self._stop_event.set()
         self._thread.join(timeout=timeout)
 
+    def stats(self) -> dict:
+        """Cheap scalar snapshot for LoggerMonitor."""
+        return {"frames_collected": int(getattr(self, "frames_collected", 0))}
+
     # -- iterator API (reference-compatible) --------------------------------
     def update_policy_weights_(self, params) -> None:
         self._params = params

@@ -190,6 +190,11 @@ class ReplayBuffer:
                 self._jit_update_priority = jax.jit(self.update_priority_fn)
             self._state = self._jit_update_priority(self._state, idx, priority)
 
+    def stats(self) -> dict:
+        """Cheap scalar snapshot for LoggerMonitor (reference
+        monitoring.py protocol)."""
+        return {"size": len(self), "capacity": self.storage.capacity}
+
     def __len__(self):
         if self._state is None:
             return 0

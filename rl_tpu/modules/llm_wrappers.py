@@ -18,7 +18,7 @@ import numpy as np
 from rl_tpu.data import TDict
 from rl_tpu.data.llm import History
 
-__all__ = ["TransformersWrapper"]
+__all__ = ["TransformersWrapper", "vLLMWrapper", "SGLangWrapper"]
 
 
 class TransformersWrapper:
@@ -122,3 +122,22 @@ class TransformersWrapper:
         if pid is None:
             pid = getattr(self.tokenizer, "eos_token_id", 0)
         return int(pid or 0)
+
+
+class vLLMWrapper:
+    """Gated: the reference's vLLM generation engine wrapper
+    (torchrl/modules/llm/policies/vllm_wrapper.py) — vLLM is not in this
+    image; :class:`TransformersWrapper` provides the same engine protocol
+    over a local HF model."""
+
+    def __init__(self, *a, **k):
+        raise ImportError("vllm is not available in this image; use "
+                          "TransformersWrapper")
+
+
+class SGLangWrapper:
+    """Gated: reference SGLang engine wrapper — sglang absent here."""
+
+    def __init__(self, *a, **k):
+        raise ImportError("sglang is not available in this image; use "
+                          "TransformersWrapper")

@@ -13,6 +13,8 @@ __all__ = [
     "Logger",
     "CSVLogger",
     "ProcessLogger",
+    "Every",
+    "LoggerMonitor",
     "TensorboardLogger",
     "WandbLogger",
     "MLFlowLogger",
@@ -21,3 +23,4 @@ __all__ = [
 ]
 
 from .video import write_avi, write_gif, write_mp4, write_video
+from .monitoring import Every, LoggerMonitor

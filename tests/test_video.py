@@ -71,3 +71,62 @@ class TestRenderCli:
                       "--steps", "10",
                       "--out", str(tmp_path / "b.avi")])
         assert os.path.exists(stats["out"])
+
+
+class TestLoggerMonitor:
+    def test_counter_schedule_and_rates(self, tmp_path):
+        from rl_tpu.record import CSVLogger, Every, LoggerMonitor
+
+        class FakeRB:
+            def __init__(self):
+                self.n = 0
+
+            def stats(self):
+                return {"size": self.n}
+
+        logger = CSVLogger("mon_test", log_dir=str(tmp_path))
+        mon = LoggerMonitor(logger, background=False)
+        rb = FakeRB()
+        mon.watch(rb, "rb", Every.counter("size", 10))
+        mon.step(now=0.0)          # baseline, nothing logged
+        rb.n = 25                  # crosses 10 and 20 → one log
+        assert mon.step(now=1.0) == 1
+        rb.n = 27                  # same decade → nothing
+        assert mon.step(now=2.0) == 0
+        rb.n = 31
+        assert mon.step(now=3.0) == 1
+        vals = logger.read_scalar("rb/size")
+        assert [float(v) for _, v in vals] == [25.0, 31.0]
+        # rate derivation between the two logged polls
+        rate = logger.read_scalar("rb/size_per_s")
+        assert abs(float(rate[-1][1]) - (31 - 25) / 2.0) < 1e-6
+
+    def test_counter_reset_rebaselines(self):
+        from rl_tpu.record import Every, LoggerMonitor
+
+        class L:
+            def __init__(self): self.calls = []
+            def log_scalar(self, k, v, step=None): self.calls.append((k, v))
+
+        class FakeColl:
+            def __init__(self): self.frames_collected = 0
+            def stats(self): return {"frames_collected": self.frames_collected}
+
+        mon = LoggerMonitor(L(), background=False)
+        c = FakeColl()
+        mon.watch(c, "coll", Every.counter("frames_collected", 100))
+        mon.step(now=0.0)
+        c.frames_collected = 150
+        assert mon.step(now=1.0) == 1
+        c.frames_collected = 0     # restored/reset → re-baseline, no log
+        assert mon.step(now=2.0) == 0
+
+    def test_real_buffer_protocol(self):
+        import jax.numpy as jnp
+
+        from rl_tpu.data import TDict
+        from rl_tpu.data.replay import ReplayBuffer
+
+        rb = ReplayBuffer(capacity=32)
+        rb.extend(TDict(x=jnp.ones((4, 2))))
+        assert rb.stats() == {"size": 4, "capacity": 32}
