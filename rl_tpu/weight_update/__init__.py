@@ -3,7 +3,7 @@ from .schemes import (
     WeightSyncScheme,
     DeviceWeightSyncScheme,
     NoWeightSyncScheme,
-    MultiProcessWeightSyncScheme,
+    MultiProcessWeightSyncScheme, SharedMemWeightSyncScheme,
 )
 
 __all__ = [
@@ -12,4 +12,5 @@ __all__ = [
     "DeviceWeightSyncScheme",
     "NoWeightSyncScheme",
     "MultiProcessWeightSyncScheme",
+    "SharedMemWeightSyncScheme",
 ]

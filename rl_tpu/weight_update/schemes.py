@@ -28,6 +28,7 @@ __all__ = [
     "DeviceWeightSyncScheme",
     "NoWeightSyncScheme",
     "MultiProcessWeightSyncScheme",
+    "SharedMemWeightSyncScheme",
 ]
 
 
@@ -143,3 +144,81 @@ class MultiProcessWeightSyncScheme(WeightSyncScheme):
         if payload is None:
             return None
         return self.strategy.restore(template, payload) if template is not None else payload
+
+
+class SharedMemWeightSyncScheme(WeightSyncScheme):
+    """Cross-process weight sync over the native shared-memory ring
+    (reference ``SharedMemWeightSyncScheme`` _shared.py:327 — versioned
+    shared-memory slots; here csrc/shm_ring.cpp carries one flat float32
+    vector per push, no pickling on the payload path).
+
+    Learner side::
+
+        scheme = SharedMemWeightSyncScheme.create("policy", n_params)
+        scheme.push(params)                  # flat vector -> shm
+
+    Worker side (another process)::
+
+        scheme = SharedMemWeightSyncScheme.attach("policy")
+        params = scheme.pull(template=params)  # None if no fresh push
+    """
+
+    def __init__(self, ring, **kwargs):
+        kwargs.setdefault("strategy", WeightStrategy(extract_as="flat"))
+        super().__init__(**kwargs)
+        self._ring = ring
+        self._version = 0
+
+    @classmethod
+    def create(cls, name: str, num_params: int, *, n_slots: int = 4,
+               **kwargs) -> "SharedMemWeightSyncScheme":
+        from rl_tpu.comm.shm_ring import ShmRing
+
+        slot = 4 * int(num_params) + 64  # f32 payload + array framing
+        return cls(ShmRing.create(f"wsync_{name}", slot_size=slot,
+                                  n_slots=n_slots), **kwargs)
+
+    @classmethod
+    def attach(cls, name: str, **kwargs) -> "SharedMemWeightSyncScheme":
+        from rl_tpu.comm.shm_ring import ShmRing
+
+        return cls(ShmRing.attach(f"wsync_{name}"), **kwargs)
+
+    def push(self, params) -> None:
+        import numpy as np
+
+        flat = np.asarray(jax.device_get(self.strategy.extract(params)),
+                          np.float32)
+        # drop stale versions so the ring never blocks the learner
+        while len(self._ring) >= 2:
+            try:
+                self._ring.pop_bytes(timeout=0.01)
+            except TimeoutError:
+                break
+        self._ring.push_array(flat)
+        self._version += 1
+
+    def pull(self, template=None, *, timeout: float = 0.0):
+        """Newest pushed weights restored into ``template``'s structure, or
+        None when nothing fresh arrived within ``timeout``."""
+        payload = None
+        while True:
+            try:
+                payload = self._ring.pop_array(
+                    timeout=timeout if payload is None else 0.01)
+            except TimeoutError:
+                break
+        if payload is None:
+            return None
+        import jax.numpy as jnp
+
+        if template is None:
+            return jnp.asarray(payload)
+        return self.strategy.restore(template, jnp.asarray(payload))
+
+    @property
+    def version(self) -> int:
+        return self._version
+
+    def close(self) -> None:
+        self._ring.close()
