@@ -43,6 +43,9 @@ SMOKE = {
                                "init_random_frames=500"],
     "multiagent_iddpg.py": ["total_frames=2000"],
     "multiagent_mappo.py": ["total_frames=4096", "frames_per_batch=2048"],
+    "multiagent_pettingzoo.py": ["total_frames=3200",
+                                 "frames_per_batch=1600", "num_envs=4",
+                                 "max_cycles=50"],
     "multiagent_qmix.py": ["total_frames=2000"],
     "multiagent_sac.py": ["total_frames=2000"],
     "offline_to_online_pendulum.py": [
