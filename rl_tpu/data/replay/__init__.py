@@ -59,3 +59,6 @@ __all__ = [
     "save_storage",
     "load_storage",
 ]
+
+from .her import HERReplayBuffer, her_relabel
+__all__ += ["HERReplayBuffer", "her_relabel"]
