@@ -26,7 +26,7 @@ import time
 
 import numpy as np
 
-__all__ = ["ShmRing"]
+__all__ = ["ShmRing", "SeqlockBox"]
 
 _LIB = None
 _LOCK = threading.Lock()
@@ -60,7 +60,23 @@ def _load() -> ctypes.CDLL:
                                  ctypes.c_uint64]
         lib.ring_size.restype = ctypes.c_uint64
         lib.ring_size.argtypes = [ctypes.c_void_p]
+        lib.ring_slot_size.restype = ctypes.c_uint64
+        lib.ring_slot_size.argtypes = [ctypes.c_void_p]
         lib.ring_close.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.box_create.restype = ctypes.c_void_p
+        lib.box_create.argtypes = [ctypes.c_char_p, ctypes.c_uint64]
+        lib.box_attach.restype = ctypes.c_void_p
+        lib.box_attach.argtypes = [ctypes.c_char_p]
+        lib.box_write.restype = ctypes.c_int
+        lib.box_write.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                  ctypes.c_uint64]
+        lib.box_read.restype = ctypes.c_int64
+        lib.box_read.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                 ctypes.c_uint64,
+                                 ctypes.POINTER(ctypes.c_uint64)]
+        lib.box_size.restype = ctypes.c_uint64
+        lib.box_size.argtypes = [ctypes.c_void_p]
+        lib.box_close.argtypes = [ctypes.c_void_p, ctypes.c_int]
         _LIB = lib
         return lib
 
@@ -101,9 +117,7 @@ class ShmRing:
             if time.monotonic() > deadline:
                 raise OSError(f"shm ring {name!r} not found")
             time.sleep(0.01)
-        # slot size read back through a probe pop buffer of max size is not
-        # available via the ABI; keep the creator's default unless given.
-        return cls(h, name, 1 << 24, owner=False)
+        return cls(h, name, int(lib.ring_slot_size(h)), owner=False)
 
     def close(self) -> None:
         if self._h:
@@ -130,7 +144,8 @@ class ShmRing:
         while True:
             n = lib.ring_pop(self._h, self._buf, len(self._buf))
             if n >= 0:
-                return self._buf.raw[:n]
+                # bounded copy — .raw[:n] would memcpy the whole slot buffer
+                return ctypes.string_at(self._buf, n)
             if n == -2:
                 self._buf = ctypes.create_string_buffer(len(self._buf) * 2)
                 continue
@@ -158,3 +173,85 @@ class ShmRing:
         off = _HDR.size + 4 * ndim
         dt = np.dtype(dt_raw.rstrip(b"\0").decode())
         return np.frombuffer(raw, dtype=dt, offset=off).reshape(dims).copy()
+
+
+class SeqlockBox:
+    """Single-slot versioned latest-value store (seqlock) over shared memory.
+
+    The reference ``SharedMemWeightSyncScheme``'s primitive
+    (``/root/reference/torchrl/weight_update/_shared.py:327``): ONE writer
+    overwrites in place, ANY number of readers copy-and-verify.  The writer
+    never blocks on slow readers — the right shape for weight broadcast,
+    where only the newest version matters.  ``read()`` returns
+    ``(payload, version)``; version is the write count, so callers can skip
+    payloads they have already seen.
+    """
+
+    def __init__(self, handle, name: str, size: int, owner: bool):
+        self._h = handle
+        self.name = name
+        self.size = size
+        self._owner = owner
+        self._buf = ctypes.create_string_buffer(size)
+
+    @classmethod
+    def create(cls, name: str, size: int) -> "SeqlockBox":
+        lib = _load()
+        nm = f"/rltpu_box_{name}".encode()
+        h = lib.box_create(nm, size)
+        if not h:
+            raise OSError(f"shm box create failed for {name!r}")
+        return cls(h, name, size, owner=True)
+
+    @classmethod
+    def attach(cls, name: str, *, timeout: float = 10.0) -> "SeqlockBox":
+        lib = _load()
+        nm = f"/rltpu_box_{name}".encode()
+        deadline = time.monotonic() + timeout
+        while True:
+            h = lib.box_attach(nm)
+            if h:
+                break
+            if time.monotonic() > deadline:
+                raise OSError(f"shm box {name!r} not found")
+            time.sleep(0.01)
+        return cls(h, name, int(lib.box_size(h)), owner=False)
+
+    def close(self) -> None:
+        if self._h:
+            _load().box_close(self._h, 1 if self._owner else 0)
+            self._h = None
+
+    # -- raw bytes ---------------------------------------------------------
+    def write_bytes(self, payload: bytes) -> None:
+        rc = _load().box_write(self._h, payload, len(payload))
+        if rc == -2:
+            raise ValueError(f"payload {len(payload)}B exceeds box size")
+
+    def read_bytes(self) -> tuple[bytes | None, int]:
+        """(payload, version); (None, 0) when nothing was ever written."""
+        ver = ctypes.c_uint64(0)
+        n = _load().box_read(self._h, self._buf, len(self._buf),
+                             ctypes.byref(ver))
+        if n == -2:
+            raise ValueError("read buffer smaller than payload")
+        if n == 0 and ver.value == 0:
+            return None, 0
+        return ctypes.string_at(self._buf, n), int(ver.value)
+
+    # -- framed numpy arrays ------------------------------------------------
+    def write_array(self, arr: np.ndarray) -> None:
+        arr = np.ascontiguousarray(arr)
+        hdr = _HDR.pack(arr.dtype.str.encode().ljust(16, b"\0"), arr.ndim)
+        dims = struct.pack(f"<{arr.ndim}I", *arr.shape)
+        self.write_bytes(hdr + dims + arr.tobytes())
+
+    def read_array(self) -> tuple[np.ndarray | None, int]:
+        raw, ver = self.read_bytes()
+        if raw is None:
+            return None, 0
+        dt_raw, ndim = _HDR.unpack_from(raw)
+        dims = struct.unpack_from(f"<{ndim}I", raw, _HDR.size)
+        off = _HDR.size + 4 * ndim
+        dt = np.dtype(dt_raw.rstrip(b"\0").decode())
+        return np.frombuffer(raw, dtype=dt, offset=off).reshape(dims).copy(), ver

@@ -66,6 +66,7 @@ class _PZPool:
 
     def step_and_reset(self, actions: np.ndarray, seeds: np.ndarray):
         obs_l, root_l, rew_l, term_l, trunc_l = [], [], [], [], []
+        aterm_l, atrunc_l = [], []
         for env, act_row, seed in zip(self.envs, actions, seeds):
             acts = {a: act_row[i].item() if act_row[i].ndim == 0
                     else np.asarray(act_row[i])
@@ -73,10 +74,15 @@ class _PZPool:
             obs, rew, term, trunc, _ = env.step(acts)
             rew_row = np.asarray([rew.get(a, 0.0) for a in self.agents],
                                  np.float32)
-            done = (all(term.get(a, True) for a in self.agents)
-                    or all(trunc.get(a, True) for a in self.agents)
-                    or not env.agents)
-            terminated = all(term.get(a, False) for a in self.agents)
+            # per-agent flags: an agent missing from the step dicts died on
+            # an earlier step (PettingZoo drops finished agents) ->
+            # terminated.  The reference keeps these under ('agents','done').
+            aterm = np.asarray([bool(term[a]) if a in term else True
+                                for a in self.agents])
+            atrunc = np.asarray([bool(trunc[a]) if a in trunc else False
+                                 for a in self.agents])
+            done = bool(np.all(aterm | atrunc)) or not env.agents
+            terminated = bool(np.all(aterm))
             if done:
                 final = (self._stack_obs(obs) if obs
                          else np.zeros_like(root_l[-1]) if root_l else None)
@@ -92,11 +98,15 @@ class _PZPool:
             rew_l.append(rew_row)
             term_l.append(terminated)
             trunc_l.append(done and not terminated)
+            aterm_l.append(aterm)
+            atrunc_l.append(atrunc)
         E = self.num_envs
         return (np.stack(obs_l), np.stack(root_l),
                 np.stack(rew_l)[..., None],
                 np.asarray(term_l, bool).reshape(E, 1),
-                np.asarray(trunc_l, bool).reshape(E, 1))
+                np.asarray(trunc_l, bool).reshape(E, 1),
+                np.stack(aterm_l)[..., None],
+                np.stack(atrunc_l)[..., None])
 
     def close(self):
         for e in self.envs:
@@ -130,6 +140,9 @@ class PettingZooWrapper(Env):
             observation=Unbounded((self.n_agents,) + self._obs_shape,
                                   jnp.float32),
             reward=Unbounded((self.n_agents, 1), jnp.float32),
+            terminated=Unbounded((self.n_agents, 1), jnp.bool_),
+            truncated=Unbounded((self.n_agents, 1), jnp.bool_),
+            done=Unbounded((self.n_agents, 1), jnp.bool_),
         ))
 
     @property
@@ -156,8 +169,11 @@ class PettingZooWrapper(Env):
             jax.ShapeDtypeStruct((E, A) + self._obs_shape, jnp.float32),
             self._seeds(key), ordered=True)
         zero_r = jnp.zeros((E, A, 1), jnp.float32)
+        zero_d = jnp.zeros((E, A, 1), jnp.bool_)
         state = TDict(token=jnp.zeros((E, 1), jnp.int32))
-        td = TDict(agents=TDict(observation=obs, reward=zero_r))
+        td = TDict(agents=TDict(observation=obs, reward=zero_r,
+                                terminated=zero_d, truncated=zero_d,
+                                done=zero_d))
         return state, td.update(self._false_dones())
 
     def step(self, state, td, key):
@@ -173,20 +189,28 @@ class PettingZooWrapper(Env):
             jax.ShapeDtypeStruct((E, A, 1), jnp.float32),
             jax.ShapeDtypeStruct((E, 1), jnp.bool_),
             jax.ShapeDtypeStruct((E, 1), jnp.bool_),
+            jax.ShapeDtypeStruct((E, A, 1), jnp.bool_),
+            jax.ShapeDtypeStruct((E, A, 1), jnp.bool_),
         )
         action = jnp.asarray(td["agents", "action"], act_dtype)
-        obs, root_obs, rew, term, trunc = jax.experimental.io_callback(
+        (obs, root_obs, rew, term, trunc, aterm,
+         atrunc) = jax.experimental.io_callback(
             lambda a, s: self._pool.step_and_reset(np.asarray(a),
                                                    np.asarray(s)),
             shapes, action, self._seeds(key), ordered=True)
         done = term | trunc
+        adone = aterm | atrunc
         next_td = TDict(
-            agents=TDict(observation=obs, reward=rew),
+            agents=TDict(observation=obs, reward=rew,
+                         terminated=aterm, truncated=atrunc, done=adone),
             reward=rew.sum(1),  # shared team reward at the root
             terminated=term, truncated=trunc, done=done,
         )
         root = TDict(
-            agents=TDict(observation=root_obs, reward=jnp.zeros_like(rew)),
+            agents=TDict(observation=root_obs, reward=jnp.zeros_like(rew),
+                         terminated=jnp.zeros_like(aterm),
+                         truncated=jnp.zeros_like(atrunc),
+                         done=jnp.zeros_like(adone)),
             done=jnp.zeros_like(done), terminated=jnp.zeros_like(term),
             truncated=jnp.zeros_like(trunc),
         )

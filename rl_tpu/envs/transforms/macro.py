@@ -124,7 +124,13 @@ def make_macro_env(env, horizon: int, action_key: str = "action"):
             return env.reward_spec
 
         def reset(self, key, options=None):
-            return env.reset(key)
+            state, td = env.reset(key)
+            # the carried low-level start action (declared on reset so the
+            # step/where-select structures match — TensorDictPrimer pattern)
+            a = env.action_spec
+            A = a.shape[-1] if a.shape else 1
+            zeros = jnp.zeros(tuple(self.batch_size) + (A,), jnp.float32)
+            return state, td.set("_prev_action", zeros)
 
         def step(self, state, td, key):
             macro = td[action_key]
@@ -133,7 +139,7 @@ def make_macro_env(env, horizon: int, action_key: str = "action"):
             actions, valid = expand_macro(macro, start, horizon)
 
             def body(carry, xs):
-                st, cur, done = carry
+                st, cur, done, prev = carry
                 a_t, v_t, k = xs
                 td_t = cur.set(action_key, a_t)
                 st2, full, nxt = env.step_and_maybe_reset(st, td_t, k)
@@ -141,6 +147,7 @@ def make_macro_env(env, horizon: int, action_key: str = "action"):
                     v_t.reshape(v_t.shape + (1,)), ~done)
                 rew = jnp.where(live, full["next", "reward"], 0.0)
                 done = jnp.logical_or(done, full["next", "done"])
+                prev = jnp.where(live, a_t, prev)
                 # freeze state once invalid/done
                 st = jax.tree.map(
                     lambda new, old: jnp.where(
@@ -151,21 +158,26 @@ def make_macro_env(env, horizon: int, action_key: str = "action"):
                     lambda new, old: jnp.where(
                         live.reshape(live.shape[:1] + (1,) * (new.ndim - 1))
                         if new.ndim else live.any(), new, old), nxt, cur)
-                return (st, cur, done), (rew, full)
+                return (st, cur, done, prev), (rew, full)
 
             T = actions.shape[-2]
             keys = jax.random.split(key, T)
             done0 = jnp.zeros(td["done"].shape, bool)
             a_seq = jnp.moveaxis(actions, -2, 0)
             v_seq = jnp.moveaxis(valid, -1, 0)
-            (state, cur, done), (rews, fulls) = jax.lax.scan(
-                body, (state, td.exclude(action_key), done0),
+            (state, cur, done, prev), (rews, fulls) = jax.lax.scan(
+                body, (state, td.exclude(action_key, "_prev_action"), done0,
+                       start),
                 (a_seq, v_seq, keys))
             last = jax.tree.map(lambda x: x[-1], fulls)
             out = last.set(("next", "reward"), rews.sum(0))
             out = out.set(("next", "done"), done)
             out = out.set(action_key, macro)
-            return state, out, cur
+            # carry the final executed low-level action: WAIT holds it, MOVE
+            # interpolates from it (docstring contract)
+            out = out.set(("next", "_prev_action"), prev)
+            out = out.set("_prev_action", start)
+            return state, out, cur.set("_prev_action", prev)
 
     return _MacroEnv()
 

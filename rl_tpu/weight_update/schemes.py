@@ -147,69 +147,66 @@ class MultiProcessWeightSyncScheme(WeightSyncScheme):
 
 
 class SharedMemWeightSyncScheme(WeightSyncScheme):
-    """Cross-process weight sync over the native shared-memory ring
-    (reference ``SharedMemWeightSyncScheme`` _shared.py:327 — versioned
-    shared-memory slots; here csrc/shm_ring.cpp carries one flat float32
-    vector per push, no pickling on the payload path).
+    """Cross-process weight sync over a shared-memory seqlock box
+    (reference ``SharedMemWeightSyncScheme`` _shared.py:327 — a versioned
+    shared-memory slot the learner overwrites in place; csrc/shm_ring.cpp
+    ``box_*``).  One writer, any number of reader processes; the writer
+    never blocks on slow readers and readers always see the newest
+    complete version (torn reads are detected and retried by the seqlock).
 
     Learner side::
 
         scheme = SharedMemWeightSyncScheme.create("policy", n_params)
-        scheme.push(params)                  # flat vector -> shm
+        scheme.push(params)                  # flat f32 vector -> shm
 
     Worker side (another process)::
 
         scheme = SharedMemWeightSyncScheme.attach("policy")
-        params = scheme.pull(template=params)  # None if no fresh push
+        params = scheme.pull(template=params)  # None if nothing new
     """
 
-    def __init__(self, ring, **kwargs):
+    def __init__(self, box, **kwargs):
         kwargs.setdefault("strategy", WeightStrategy(extract_as="flat"))
         super().__init__(**kwargs)
-        self._ring = ring
-        self._version = 0
+        self._box = box
+        self._seen_version = 0
 
     @classmethod
-    def create(cls, name: str, num_params: int, *, n_slots: int = 4,
+    def create(cls, name: str, num_params: int,
                **kwargs) -> "SharedMemWeightSyncScheme":
-        from rl_tpu.comm.shm_ring import ShmRing
+        from rl_tpu.comm.shm_ring import SeqlockBox
 
-        slot = 4 * int(num_params) + 64  # f32 payload + array framing
-        return cls(ShmRing.create(f"wsync_{name}", slot_size=slot,
-                                  n_slots=n_slots), **kwargs)
+        size = 4 * int(num_params) + 64  # f32 payload + array framing
+        return cls(SeqlockBox.create(f"wsync_{name}", size), **kwargs)
 
     @classmethod
     def attach(cls, name: str, **kwargs) -> "SharedMemWeightSyncScheme":
-        from rl_tpu.comm.shm_ring import ShmRing
+        from rl_tpu.comm.shm_ring import SeqlockBox
 
-        return cls(ShmRing.attach(f"wsync_{name}"), **kwargs)
+        return cls(SeqlockBox.attach(f"wsync_{name}"), **kwargs)
 
     def push(self, params) -> None:
         import numpy as np
 
         flat = np.asarray(jax.device_get(self.strategy.extract(params)),
                           np.float32)
-        # drop stale versions so the ring never blocks the learner
-        while len(self._ring) >= 2:
-            try:
-                self._ring.pop_bytes(timeout=0.01)
-            except TimeoutError:
-                break
-        self._ring.push_array(flat)
-        self._version += 1
+        self._box.write_array(flat)
 
     def pull(self, template=None, *, timeout: float = 0.0):
         """Newest pushed weights restored into ``template``'s structure, or
-        None when nothing fresh arrived within ``timeout``."""
-        payload = None
+        None when nothing NEW (vs the last pull) arrived within
+        ``timeout``."""
+        import time
+
+        deadline = time.monotonic() + timeout
         while True:
-            try:
-                payload = self._ring.pop_array(
-                    timeout=timeout if payload is None else 0.01)
-            except TimeoutError:
+            payload, version = self._box.read_array()
+            if payload is not None and version > self._seen_version:
                 break
-        if payload is None:
-            return None
+            if time.monotonic() >= deadline:
+                return None
+            time.sleep(0.0005)
+        self._seen_version = version
         import jax.numpy as jnp
 
         if template is None:
@@ -218,7 +215,8 @@ class SharedMemWeightSyncScheme(WeightSyncScheme):
 
     @property
     def version(self) -> int:
-        return self._version
+        _, version = self._box.read_bytes()
+        return version
 
     def close(self) -> None:
-        self._ring.close()
+        self._box.close()

@@ -8,7 +8,7 @@ import time
 import numpy as np
 import pytest
 
-from rl_tpu.comm.shm_ring import ShmRing
+from rl_tpu.comm.shm_ring import SeqlockBox, ShmRing
 
 
 class TestInProcess:
@@ -62,6 +62,61 @@ class TestInProcess:
                 ring.pop_bytes(timeout=0.1)
         finally:
             ring.close()
+
+
+class TestSeqlockBox:
+    def test_overwrite_latest_wins_and_versions(self):
+        box = SeqlockBox.create("t_box", 1024)
+        try:
+            assert box.read_bytes() == (None, 0)
+            box.write_bytes(b"v1")
+            box.write_bytes(b"v2")
+            payload, ver = box.read_bytes()
+            assert payload == b"v2" and ver == 2
+            # reads are idempotent (latest-value, not a queue)
+            assert box.read_bytes() == (b"v2", 2)
+        finally:
+            box.close()
+
+    def test_writer_never_blocks(self):
+        box = SeqlockBox.create("t_box_nb", 64)
+        try:
+            for i in range(1000):  # no reader at all — must not stall
+                box.write_bytes(bytes([i % 256]) * 8)
+            payload, ver = box.read_bytes()
+            assert ver == 1000
+        finally:
+            box.close()
+
+    def test_array_roundtrip(self):
+        box = SeqlockBox.create("t_box_arr", 1 << 16)
+        try:
+            arr = np.arange(60, dtype=np.float32).reshape(3, 4, 5)
+            box.write_array(arr)
+            out, ver = box.read_array()
+            assert ver == 1
+            np.testing.assert_array_equal(out, arr)
+        finally:
+            box.close()
+
+    def test_attach_sees_size(self):
+        box = SeqlockBox.create("t_box_sz", 4096)
+        other = SeqlockBox.attach("t_box_sz")
+        try:
+            assert other.size == 4096
+            box.write_bytes(b"hello")
+            assert other.read_bytes() == (b"hello", 1)
+        finally:
+            other.close()
+            box.close()
+
+    def test_oversize_rejected(self):
+        box = SeqlockBox.create("t_box_big", 16)
+        try:
+            with pytest.raises(ValueError):
+                box.write_bytes(b"x" * 64)
+        finally:
+            box.close()
 
 
 def _producer(name, n):
