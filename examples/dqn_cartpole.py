@@ -17,17 +17,22 @@ from rl_tpu.collectors.evaluator import Evaluator
 from rl_tpu.record import CSVLogger, generate_exp_name
 from rl_tpu.trainers import DQNTrainer
 
+# mirrors /root/reference/sota-implementations/dqn/config_cartpole.yaml:
+# 500k frames, fpb 1000, eps 1.0->0.05 over 250k frames, 10k-slot buffer,
+# batch 128, lr 2.5e-4, 100 updates per 1000 frames, target refresh every
+# 50 updates (here: soft tau=0.02 per update, the same timescale)
 DEFAULTS = dict(
     num_envs=16,
     frames_per_batch=128,
-    total_frames=100_000,
-    buffer_capacity=100_000,
+    total_frames=500_000,
+    buffer_capacity=10_000,
     batch_size=128,
-    utd=4,
-    lr=1e-3,
+    utd=13,
+    lr=2.5e-4,
     gamma=0.99,
-    tau=0.05,
-    eps_anneal_iters=300,
+    tau=0.02,
+    eps_anneal_iters=1950,
+    init_random_frames=10_000,
     seed=0,
     logger="csv",
 )
@@ -37,7 +42,7 @@ def main(cfg=None):
     cfg = {**DEFAULTS, **(cfg or {})}
     env = BatchedEnv(CartPoleEnv(), cfg["num_envs"])
     qactor = QValueActor(
-        MLP(out_features=2, num_cells=(128, 128), activation="relu"),
+        MLP(out_features=2, num_cells=(120, 84), activation="relu"),
         in_keys=["observation"],
     )
     logger = (
@@ -52,7 +57,8 @@ def main(cfg=None):
         frames_per_batch=cfg["frames_per_batch"], total_frames=cfg["total_frames"],
         buffer_capacity=cfg["buffer_capacity"], batch_size=cfg["batch_size"],
         utd=cfg["utd"], lr=cfg["lr"], gamma=cfg["gamma"], tau=cfg["tau"],
-        eps_anneal_iters=cfg["eps_anneal_iters"], seed=cfg["seed"],
+        eps_anneal_iters=cfg["eps_anneal_iters"],
+        init_random_frames=cfg["init_random_frames"], seed=cfg["seed"],
         logger=logger, evaluator=evaluator, eval_interval=50,
     )
     params = trainer.train()

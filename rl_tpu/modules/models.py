@@ -22,9 +22,39 @@ __all__ = [
     "DuelingCnnDQNet",
     "NoisyLinear",
     "BatchRenorm",
+    "fan_in_uniform",
 ]
 
 ActivationFn = Callable[[jax.Array], jax.Array]
+
+
+def fan_in_uniform(key, shape, dtype=jnp.float32):
+    """Torch-default layer init: ``U(-1/sqrt(fan_in), 1/sqrt(fan_in))``
+    (kaiming_uniform(a=sqrt(5)) — what every reference net trains under,
+    torch.nn.Linear/Conv2d reset_parameters).
+
+    This is NOT cosmetic: it has ~1.7x smaller std than flax's default
+    lecun_normal, and value-based learners are sensitive to the initial
+    Q-scale — DQN CartPole plateaus at ~250 under lecun_normal and solves
+    (500) under this init, everything else equal (round-3 bisect).
+    Works for Dense ([in, out]) and Conv ([kh, kw, in, out]) kernels.
+    """
+    import numpy as _np
+
+    fan_in = max(int(_np.prod(shape[:-1])), 1)
+    bound = 1.0 / _np.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def _fan_in_bias(fan_in: int):
+    import numpy as _np
+
+    bound = 1.0 / _np.sqrt(max(int(fan_in), 1))
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
 
 
 def _resolve_activation(act) -> ActivationFn:
@@ -60,11 +90,14 @@ class MLP(nn.Module):
             if len(inputs) > 1 else jnp.asarray(inputs[0], self.dtype)
         act = _resolve_activation(self.activation)
         for width in self.num_cells:
-            x = nn.Dense(width, dtype=self.dtype)(x)
+            x = nn.Dense(width, dtype=self.dtype, kernel_init=fan_in_uniform,
+                         bias_init=_fan_in_bias(x.shape[-1]))(x)
             if self.layer_norm:
                 x = nn.LayerNorm(dtype=self.dtype)(x)
             x = act(x)
-        x = nn.Dense(self.out_features, dtype=self.dtype)(x)
+        x = nn.Dense(self.out_features, dtype=self.dtype,
+                     kernel_init=fan_in_uniform,
+                     bias_init=_fan_in_bias(x.shape[-1]))(x)
         if self.activate_last_layer:
             x = act(x)
         return x
@@ -90,7 +123,9 @@ class ConvNet(nn.Module):
         lead = x.shape[:-3]
         x = x.reshape((-1,) + x.shape[-3:])  # [N, H, W, C]
         for ch, k, s in zip(self.channels, self.kernel_sizes, self.strides):
-            x = nn.Conv(ch, (k, k), strides=(s, s), padding="VALID", dtype=self.dtype)(x)
+            x = nn.Conv(ch, (k, k), strides=(s, s), padding="VALID",
+                        dtype=self.dtype, kernel_init=fan_in_uniform,
+                        bias_init=_fan_in_bias(k * k * x.shape[-1]))(x)
             x = act(x)
         x = x.reshape(lead + (-1,))
         return x

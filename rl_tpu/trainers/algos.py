@@ -196,15 +196,26 @@ class _OffPolicyTrainer(_TrainerBase):
     def _grad_and_update(self, params, opt_state, mb, k, idx):
         raise NotImplementedError
 
-    def _policy_state(self, params):
+    def _policy_state(self, params, aux=None):
         return params
 
     def _post_update(self, params, idx=0):
         return params
 
+    def _init_aux(self) -> TDict:
+        """Mutable collection-side state (ε/σ anneals) threaded THROUGH the
+        jitted update — closing over it would bake the initial value into
+        the trace as a constant and the anneal would silently never happen
+        (the round-2 DQN-CartPole plateau)."""
+        return TDict()
+
+    def _step_aux(self, aux: TDict) -> TDict:
+        return aux
+
     def _make_update(self):
-        def update(params, opt_state, rb_state, cstate, key):
-            cstate, batch = self.collector._collect(self._policy_state(params), cstate)
+        def update(params, opt_state, rb_state, cstate, aux, key):
+            cstate, batch = self.collector._collect(
+                self._policy_state(params, aux), cstate)
             rb_state, _ = self.rb.extend_fn(rb_state, _flatten_time(batch))
 
             def upd(carry, xs):
@@ -224,14 +235,18 @@ class _OffPolicyTrainer(_TrainerBase):
                 upd, (params, opt_state, rb_state),
                 (jax.random.split(key, self.utd), jnp.arange(self.utd)),
             )
-            return params, opt_state, rb_state, cstate, batch["next", "reward"].mean()
+            aux = self._step_aux(aux)
+            return (params, opt_state, rb_state, cstate, aux,
+                    batch["next", "reward"].mean())
 
         return jax.jit(update)
 
     def train(self):
         self._key, k = jax.random.split(self._key)
         cstate = self.collector.init(k)
-        cstate, batch0 = self.collector.collect(self._policy_state(self.params), cstate)
+        aux = self._init_aux()
+        cstate, batch0 = self.collector.collect(
+            self._policy_state(self.params, aux), cstate)
         rb_state = self.rb.init_from_batch(_flatten_time(batch0))
         seed_batch = getattr(self, "_seed_batch", None)
         if seed_batch is not None:  # offline-to-online warm start
@@ -251,14 +266,16 @@ class _OffPolicyTrainer(_TrainerBase):
         it = 0
         while frames < self.total_frames:
             self._key, k = jax.random.split(self._key)
-            self.params, self.opt_state, rb_state, cstate, reward = update(
-                self.params, self.opt_state, rb_state, cstate, k
+            (self.params, self.opt_state, rb_state, cstate, aux,
+             reward) = update(
+                self.params, self.opt_state, rb_state, cstate, aux, k
             )
             frames += self.collector.frames_per_batch
             self._log({"train/reward": float(reward)}, step=frames)
             self._key, k = jax.random.split(self._key)
             self._maybe_eval_and_save(it, self.params, k, frames)
             it += 1
+        self._final_aux = aux
         return self.params
 
 
@@ -311,6 +328,7 @@ class DQNTrainer(_OffPolicyTrainer):
                  total_frames=100000, buffer_capacity=100_000, batch_size=128,
                  utd=4, lr=1e-3, gamma=0.99, tau=0.05, double_dqn=True,
                  eps_init=1.0, eps_end=0.05, eps_anneal_iters=200,
+                 init_random_frames=0, max_grad_norm=10.0,
                  seed=0, **base_kwargs):
         super().__init__(
             frames_per_batch=frames_per_batch, total_frames=total_frames,
@@ -325,24 +343,32 @@ class DQNTrainer(_OffPolicyTrainer):
         self.updater = SoftUpdate(tau=tau)
         self.eg = EGreedyModule(action_spec, eps_init=eps_init, eps_end=eps_end,
                                 annealing_num_steps=eps_anneal_iters)
-        self._eg_state = self.eg.init_state()
 
         def policy(pstate, td, k):
             td = qvalue_actor(pstate["params"]["value"], td, key=k)
             return self.eg(pstate["eg"], td, k)
 
-        self.collector = Collector(env, policy, frames_per_batch=frames_per_batch)
+        self.collector = Collector(env, policy, frames_per_batch=frames_per_batch,
+                                   init_random_frames=init_random_frames)
         key = jax.random.PRNGKey(seed)
         _, td0 = env.reset(key)
         example = jax.tree.map(
             lambda x: jnp.asarray(x)[:1] if env.batch_size else jnp.asarray(x)[None], td0
         )
         self.params = self.loss_module.init(key, example)
-        self.tx = optax.adam(lr)
+        self.tx = optax.chain(optax.clip_by_global_norm(max_grad_norm),
+                              optax.adam(lr))
         self.opt_state = self.tx.init(self.params["value"])
 
-    def _policy_state(self, params):
-        return TDict(params=params, eg=self._eg_state)
+    def _init_aux(self) -> TDict:
+        return TDict(eg=self.eg.init_state())
+
+    def _step_aux(self, aux: TDict) -> TDict:
+        return aux.set("eg", self.eg.step(aux["eg"]))
+
+    def _policy_state(self, params, aux=None):
+        eg = aux["eg"] if aux is not None else self.eg.init_state()
+        return TDict(params=params, eg=eg)
 
     def _grad_and_update(self, params, opt_state, mb, k, idx):
         g = jax.grad(lambda pv: self.loss_module(params.set("value", pv), mb)[0])(
@@ -355,20 +381,6 @@ class DQNTrainer(_OffPolicyTrainer):
         return params.set(
             "target_value", self.updater(params["target_value"], params["value"])
         )
-
-    def train(self):
-        out = super().train()
-        return out
-
-    def _make_update(self):
-        base = super()._make_update()
-
-        def update(params, opt_state, rb_state, cstate, key):
-            out = base(params, opt_state, rb_state, cstate, key)
-            self._eg_state = self.eg.step(self._eg_state)
-            return out
-
-        return update
 
 
 class DDPGTrainer(_OffPolicyTrainer):
@@ -396,7 +408,6 @@ class DDPGTrainer(_OffPolicyTrainer):
             env.action_spec, sigma_init=sigma_init, sigma_end=sigma_end,
             annealing_num_steps=sigma_anneal_iters,
         )
-        self._noise_state = self.noise.init_state()
 
         def policy(pstate, td, k):
             td = actor(pstate["params"]["actor"], td)
@@ -418,8 +429,15 @@ class DDPGTrainer(_OffPolicyTrainer):
         )
         self.opt_state = self.tx.init(self.params)
 
-    def _policy_state(self, params):
-        return TDict(params=params, noise=self._noise_state)
+    def _init_aux(self) -> TDict:
+        return TDict(noise=self.noise.init_state())
+
+    def _step_aux(self, aux: TDict) -> TDict:
+        return aux.set("noise", self.noise.step(aux["noise"]))
+
+    def _policy_state(self, params, aux=None):
+        noise = aux["noise"] if aux is not None else self.noise.init_state()
+        return TDict(params=params, noise=noise)
 
     def _grad_and_update(self, params, opt_state, mb, k, idx):
         grads = jax.grad(lambda p: self.loss_module(p, mb, k)[0])(params)
@@ -433,20 +451,6 @@ class DDPGTrainer(_OffPolicyTrainer):
         return params.set(
             "target_actor", self.updater(params["target_actor"], params["actor"])
         )
-
-    def train(self):
-        out = super().train()
-        return out
-
-    def _make_update(self):
-        base = super()._make_update()
-
-        def update(params, opt_state, rb_state, cstate, key):
-            out = base(params, opt_state, rb_state, cstate, key)
-            self._noise_state = self.noise.step(self._noise_state)
-            return out
-
-        return update
 
 
 class TD3Trainer(DDPGTrainer):

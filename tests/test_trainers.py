@@ -153,6 +153,37 @@ class TestAlgoTrainers:
         params = t.train()
         assert "target_value" in params
 
+    def test_dqn_epsilon_actually_anneals(self, key):
+        # regression: eps state must thread THROUGH the jitted update — a
+        # closed-over state gets baked as a tracer constant and the anneal
+        # silently never happens (round-2 DQN CartPole plateau root cause)
+        env = BatchedEnv(CartPoleEnv(), 4)
+        qactor = QValueActor(MLP(out_features=2, num_cells=(16,)), in_keys=["observation"])
+        t = DQNTrainer(env, qactor, action_spec=CategoricalSpec(2),
+                       frames_per_batch=32, total_frames=32 * 6, batch_size=32,
+                       buffer_capacity=1000, utd=1, eps_init=1.0, eps_end=0.1,
+                       eps_anneal_iters=10)
+        t.train()
+        eps = float(t._final_aux["eg", "eps"])
+        assert eps < 0.99, f"epsilon never annealed (still {eps})"
+
+    def test_ddpg_sigma_actually_anneals(self, key):
+        from rl_tpu.trainers import DDPGTrainer
+
+        env = BatchedEnv(PendulumEnv(), 4)
+        actor = TDModule(MLP(out_features=1, num_cells=(16,), activation="tanh",
+                             activate_last_layer=True),
+                         ["observation"], ["action"])
+        qvalue = TDModule(MLP(out_features=1, num_cells=(16,)),
+                          ["observation", "action"], ["state_action_value"])
+        t = DDPGTrainer(env, actor, qvalue, frames_per_batch=32,
+                        total_frames=32 * 6, batch_size=32, buffer_capacity=1000,
+                        utd=1, sigma_init=1.0, sigma_end=0.1,
+                        sigma_anneal_iters=10, init_random_frames=0)
+        t.train()
+        sigma = float(t._final_aux["noise", "sigma"])
+        assert sigma < 0.99, f"sigma never annealed (still {sigma})"
+
 
 class TestLoggers:
     def test_csv_logger_roundtrip(self, tmp_path):
