@@ -102,7 +102,12 @@ class ReplayBuffer:
         n = leaves[0].shape[0]
         wstate, idx = self.writer.extend(state["writer"], n)
         sstorage = self.storage.set(state["storage"], idx, data)
-        ssampler = self.sampler.extend(state["sampler"], idx)
+        if getattr(self.sampler, "needs_extend_data", False):
+            # slice samplers maintain a write-time episode table from the
+            # written traj-ids/dones (reference _get_stop_and_length)
+            ssampler = self.sampler.extend(state["sampler"], idx, data)
+        else:
+            ssampler = self.sampler.extend(state["sampler"], idx)
         return TDict(storage=sstorage, sampler=ssampler, writer=wstate), idx
 
     def add_fn(self, state: TDict, item: TDict) -> tuple[TDict, jax.Array]:

@@ -223,53 +223,169 @@ class SliceSampler:
     """Sample fixed-length sub-trajectory windows from flat storage
     (reference samplers.py:1696).
 
-    Static-shape design: samples ``num_slices`` random window *ends*, gathers
-    ``slice_len`` contiguous entries each, and returns a validity mask that
-    cuts at episode boundaries discovered from the stored ``("next","done")``
-    flags (the reference's ``strict_length=False`` behaviour).  The ring
-    discontinuity (cursor wrap) is masked the same way via the ``index``
-    validity.  Returns flattened indices ``[num_slices*slice_len]`` plus
-    ``("mask")`` info.
+    The reference discovers episode starts/lengths from the stored
+    ``("collector","traj_ids")`` (``_get_stop_and_length``); here the same
+    episode table is maintained *at write time* in the sampler state, with
+    static shapes so everything stays inside jit:
+
+    * ``traj[capacity]``  — trajectory id per slot (from the written data's
+      ``("collector","traj_ids")`` when present, else a pseudo-id derived
+      from ``("next","done")`` boundaries, carried across extends);
+    * ``age[capacity]``   — steps since that trajectory's first stored step;
+    * ``wc[capacity]``    — absolute write counter per slot.
+
+    Validity of a candidate window is then exact: element ``j`` of a window
+    ending at ring slot ``e`` is valid iff its write counter is
+    ``wc[e]-(L-1-j)`` (time-contiguity: this single check masks the ring
+    write-cursor discontinuity AND freshly-overwritten heads) and its traj
+    id matches the end's.  ``strict_length=True`` additionally restricts the
+    *end draw* to slots with ``age >= L-1`` whose full window survived
+    overwrites, so every sampled slice has exactly ``slice_len`` valid steps
+    (the reference's strict mode; when no such end exists the mask comes
+    back all-False instead of raising — jit cannot raise).
+
+    Requires trajectory-contiguous writes (one stream per ``extend``, e.g.
+    per-env flattening or whole episodes) — same layout contract as the
+    reference storage.  Returns flattened indices ``[num_slices*slice_len]``
+    plus info: ``mask``, ``truncated`` (True on each window's last valid
+    element, for bootstrapping), ``slice_shape``.
     """
+
+    needs_extend_data = True
 
     def __init__(self, capacity: int, num_slices: int | None = None,
                  slice_len: int | None = None, done_key=("next", "done"),
-                 strict_length: bool = False):
+                 traj_key=("collector", "traj_ids"),
+                 strict_length: bool = False, span: bool = True):
         self.capacity = int(capacity)
         self.num_slices = num_slices
         self.slice_len = slice_len
         self.done_key = done_key
+        self.traj_key = traj_key
         self.strict_length = strict_length
+        # span=True (default) lets non-strict windows start before the
+        # episode head / storage start and masks the invalid prefix — the
+        # reference's span-padding behaviour.  span=False with
+        # strict_length=False is equivalent (masking already pads).
+        self.span = span
 
-    def init(self) -> TDict:
-        return TDict()
-
-    def extend(self, sstate: TDict, idx) -> TDict:
-        return sstate
-
-    def sample(self, sstate: TDict, size, batch_size: int, key, dones=None):
-        """``dones``: [capacity] bool — episode-end flags of stored steps
-        (the buffer passes them in).  batch_size must equal
-        num_slices*slice_len."""
+    def _nL(self, batch_size: int):
         L = self.slice_len or (batch_size // (self.num_slices or 1))
         n = self.num_slices or (batch_size // L)
-        # sample window end positions in [L-1, size)
-        ends = jax.random.randint(key, (n,), L - 1, jnp.maximum(size, L))
+        return n, L
+
+    def init(self) -> TDict:
+        cap = self.capacity
+        return TDict(
+            traj=jnp.full((cap,), -1, jnp.int32),
+            age=jnp.full((cap,), -1, jnp.int32),
+            wc=jnp.full((cap,), -(2 ** 30), jnp.int32),
+            next_wc=jnp.zeros((), jnp.int32),
+            last_traj=jnp.zeros((), jnp.int32),
+            last_age=jnp.full((), -1, jnp.int32),
+            last_done=jnp.ones((), jnp.bool_),
+        )
+
+    def _episode_fields(self, sstate: TDict, idx, data):
+        """Per-item (traj_id, age, write_counter) for an extend batch."""
+        idx = jnp.asarray(idx).reshape(-1)
+        N = idx.shape[0]
+        i = jnp.arange(N, dtype=jnp.int32)
+        wc = sstate["next_wc"] + i
+        dones = None
+        tids = None
+        if data is not None:
+            if self.traj_key in data:
+                tids = jnp.asarray(data[self.traj_key]).reshape(-1).astype(jnp.int32)
+            if self.done_key in data:
+                dones = jnp.asarray(data[self.done_key]).reshape(N, -1)[:, 0]
+        if tids is not None:
+            changed = jnp.concatenate(
+                [(tids[:1] != sstate["last_traj"]), tids[1:] != tids[:-1]])
+            # also break on stored done even when ids are caller-provided
+            prev_done = (jnp.concatenate([sstate["last_done"][None], dones[:-1]])
+                         if dones is not None else jnp.zeros((N,), bool))
+            starts = changed | prev_done
+        else:
+            prev_done = (jnp.concatenate([sstate["last_done"][None], dones[:-1]])
+                         if dones is not None else
+                         jnp.concatenate([sstate["last_done"][None],
+                                          jnp.zeros((N - 1,), bool)]))
+            starts = prev_done
+            tids = sstate["last_traj"] + jnp.cumsum(starts.astype(jnp.int32))
+        # age: distance to the most recent start, continuing the carried age
+        start_pos = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(starts, i, -1))
+        age = jnp.where(start_pos >= 0, i - start_pos,
+                        i + sstate["last_age"] + 1)
+        new_last_done = dones[-1] if dones is not None else jnp.asarray(False)
+        return tids, age.astype(jnp.int32), wc, new_last_done
+
+    def extend(self, sstate: TDict, idx, data=None) -> TDict:
+        idx = jnp.asarray(idx).reshape(-1)
+        tids, age, wc, last_done = self._episode_fields(sstate, idx, data)
+        return TDict(
+            traj=sstate["traj"].at[idx].set(tids),
+            age=sstate["age"].at[idx].set(age),
+            wc=sstate["wc"].at[idx].set(wc),
+            next_wc=sstate["next_wc"] + idx.shape[0],
+            last_traj=tids[-1],
+            last_age=age[-1],
+            last_done=last_done,
+        )
+
+    def _window(self, sstate: TDict, ends, L: int, dones=None):
+        """Gather + validate windows ending at ring slots ``ends``."""
+        cap = self.capacity
         offsets = jnp.arange(L, dtype=jnp.int32) - (L - 1)
-        idx = ends[:, None] + offsets[None, :]  # [n, L]
-        valid = idx >= 0
-        idx = jnp.clip(idx, 0, self.capacity - 1)
+        idx = (ends[:, None] + offsets[None, :]) % cap  # [n, L]
+        wc, traj = sstate["wc"], sstate["traj"]
+        expect_wc = wc[ends][:, None] + offsets[None, :]
+        valid = (wc[idx] == expect_wc) & (traj[idx] == traj[ends][:, None])
+        valid = valid & (sstate["age"][idx] >= 0)
         if dones is not None:
-            d = jnp.asarray(dones).reshape(-1)[idx]  # [n, L]
-            # a done at in-window position t is the last step of its episode:
-            # the boundary sits between t and t+1, so position s belongs to
-            # the window-final chunk iff no done occurs in [s, L-2] (a done on
-            # the last element just ends the window cleanly).
+            # defensive cut on stored dones (covers done-without-traj-change)
+            d = jnp.asarray(dones).reshape(-1)[idx]
             d2 = d.astype(jnp.int32).at[:, -1].set(0)
-            suffix_dones = jnp.flip(jnp.cumsum(jnp.flip(d2, axis=1), axis=1), axis=1)
-            valid = valid & (suffix_dones == 0)
+            suffix = jnp.flip(jnp.cumsum(jnp.flip(d2, axis=1), axis=1), axis=1)
+            valid = valid & (suffix == 0)
+        # each window's last valid element is a bootstrap cut (reference
+        # writes ("next","truncated") there)
+        pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+        last_valid = jnp.max(jnp.where(valid, pos, -1), axis=1, keepdims=True)
+        truncated = valid & (pos == last_valid)
+        return idx, valid, truncated
+
+    def _strict_end_ok(self, sstate: TDict, size, L: int):
+        """[capacity] bool: slot can end a FULL length-L window."""
+        cap = self.capacity
+        e = jnp.arange(cap, dtype=jnp.int32)
+        head = (e - (L - 1)) % cap
+        ok = (sstate["age"] >= L - 1) & (sstate["wc"][head]
+                                         == sstate["wc"] - (L - 1))
+        return ok & (e < size)
+
+    def _draw_ends(self, sstate: TDict, size, n: int, key):
+        if self.strict_length:
+            ok = self._strict_end_ok(sstate, size, self.slice_len or 1)
+            logits = jnp.where(ok, 0.0, -jnp.inf)
+            any_ok = jnp.any(ok)
+            safe = jnp.where(any_ok, logits,
+                             jnp.where(jnp.arange(self.capacity) < size,
+                                       0.0, -jnp.inf))
+            ends = jax.random.categorical(key, safe, shape=(n,)).astype(jnp.int32)
+            return ends, any_ok
+        ends = jax.random.randint(key, (n,), 0, jnp.maximum(size, 1))
+        return ends.astype(jnp.int32), jnp.asarray(True)
+
+    def sample(self, sstate: TDict, size, batch_size: int, key, dones=None):
+        n, L = self._nL(batch_size)
+        ends, any_ok = self._draw_ends(sstate, size, n, key)
+        idx, valid, truncated = self._window(sstate, ends, L, dones)
+        valid = valid & any_ok
         return sstate, idx.reshape(-1), TDict(
-            mask=valid.reshape(-1), slice_shape=jnp.asarray([n, L])
+            mask=valid.reshape(-1), truncated=truncated.reshape(-1),
+            slice_shape=jnp.asarray([n, L]), end_index=ends,
         )
 
     def update_priority(self, sstate, idx, priority) -> TDict:
@@ -282,25 +398,27 @@ class SliceSamplerWithoutReplacement(SliceSampler):
     Requires a full storage like SamplerWithoutReplacement."""
 
     def init(self) -> TDict:
-        return TDict(
+        return super().init().update(TDict(
             perm=jnp.arange(self.capacity, dtype=jnp.int32),
             pos=jnp.zeros((), jnp.int32),
             seeded=jnp.zeros((), jnp.bool_),
-        )
+        ))
 
-    def extend(self, sstate: TDict, idx) -> TDict:
-        return sstate.set("pos", jnp.zeros((), jnp.int32)).set(
-            "seeded", jnp.zeros((), jnp.bool_)
-        )
+    def extend(self, sstate: TDict, idx, data=None) -> TDict:
+        out = super().extend(
+            sstate.exclude("perm", "pos", "seeded"), idx, data)
+        return out.update(TDict(
+            perm=sstate["perm"], pos=jnp.zeros((), jnp.int32),
+            seeded=jnp.zeros((), jnp.bool_),
+        ))
 
     def sample(self, sstate: TDict, size, batch_size: int, key, dones=None):
-        L = self.slice_len or (batch_size // (self.num_slices or 1))
-        n = self.num_slices or (batch_size // L)
+        n, L = self._nL(batch_size)
 
         def reshuffle(s):
             perm = jax.random.permutation(key, self.capacity).astype(jnp.int32)
-            return TDict(perm=perm, pos=jnp.zeros((), jnp.int32),
-                         seeded=jnp.ones((), jnp.bool_))
+            return s.set("perm", perm).set("pos", jnp.zeros((), jnp.int32)) \
+                    .set("seeded", jnp.ones((), jnp.bool_))
 
         needs = (~sstate["seeded"]) | (sstate["pos"] + n > self.capacity)
         sstate = jax.lax.cond(needs, reshuffle, lambda s: s, sstate)
@@ -308,17 +426,10 @@ class SliceSamplerWithoutReplacement(SliceSampler):
         ends = jax.lax.dynamic_slice(sstate["perm"], (pos,), (n,))
         ends = jnp.clip(ends, L - 1, jnp.maximum(size - 1, L - 1))
         sstate = sstate.set("pos", pos + n)
-        offsets = jnp.arange(L, dtype=jnp.int32) - (L - 1)
-        idx = ends[:, None] + offsets[None, :]
-        valid = idx >= 0
-        idx = jnp.clip(idx, 0, self.capacity - 1)
-        if dones is not None:
-            d = jnp.asarray(dones).reshape(-1)[idx]
-            d2 = d.astype(jnp.int32).at[:, -1].set(0)
-            suffix = jnp.flip(jnp.cumsum(jnp.flip(d2, axis=1), axis=1), axis=1)
-            valid = valid & (suffix == 0)
+        idx, valid, truncated = self._window(sstate, ends, L, dones)
         return sstate, idx.reshape(-1), TDict(
-            mask=valid.reshape(-1), slice_shape=jnp.asarray([n, L])
+            mask=valid.reshape(-1), truncated=truncated.reshape(-1),
+            slice_shape=jnp.asarray([n, L]), end_index=ends,
         )
 
 
@@ -335,32 +446,27 @@ class PrioritizedSliceSampler(SliceSampler):
         self._prio = PrioritizedSampler(capacity, alpha, beta, eps)
 
     def init(self) -> TDict:
-        return self._prio.init()
+        return super().init().set("prio", self._prio.init())
 
-    def extend(self, sstate: TDict, idx) -> TDict:
-        return self._prio.extend(sstate, idx)
+    def extend(self, sstate: TDict, idx, data=None) -> TDict:
+        out = super().extend(sstate.exclude("prio"), idx, data)
+        return out.set("prio", self._prio.extend(sstate["prio"], idx))
 
     def update_priority(self, sstate, idx, priority) -> TDict:
-        return self._prio.update_priority(sstate, idx, priority)
+        return sstate.set(
+            "prio", self._prio.update_priority(sstate["prio"], idx, priority)
+        )
 
     def sample(self, sstate: TDict, size, batch_size: int, key, dones=None):
-        L = self.slice_len or (batch_size // (self.num_slices or 1))
-        n = self.num_slices or (batch_size // L)
-        sstate, ends, info = self._prio.sample(sstate, size, n, key)
+        n, L = self._nL(batch_size)
+        pstate, ends, info = self._prio.sample(sstate["prio"], size, n, key)
         ends = jnp.clip(ends, L - 1, jnp.maximum(size - 1, L - 1))
-        offsets = jnp.arange(L, dtype=jnp.int32) - (L - 1)
-        idx = ends[:, None] + offsets[None, :]
-        valid = idx >= 0
-        idx = jnp.clip(idx, 0, self.capacity - 1)
-        if dones is not None:
-            d = jnp.asarray(dones).reshape(-1)[idx]
-            d2 = d.astype(jnp.int32).at[:, -1].set(0)
-            suffix = jnp.flip(jnp.cumsum(jnp.flip(d2, axis=1), axis=1), axis=1)
-            valid = valid & (suffix == 0)
+        sstate = sstate.set("prio", pstate)
+        idx, valid, truncated = self._window(sstate, ends, L, dones)
         weights = jnp.repeat(info["_weight"], L)
         return sstate, idx.reshape(-1), TDict(
-            mask=valid.reshape(-1), _weight=weights,
-            slice_shape=jnp.asarray([n, L]), end_index=ends,
+            mask=valid.reshape(-1), truncated=truncated.reshape(-1),
+            _weight=weights, slice_shape=jnp.asarray([n, L]), end_index=ends,
         )
 
 
