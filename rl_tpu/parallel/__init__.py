@@ -5,6 +5,7 @@ from .mesh import (
     shard_batch,
     device_count,
 )
+from .launch import free_port, global_batch, initialize_multiprocess
 
 __all__ = [
     "make_mesh",
@@ -12,4 +13,7 @@ __all__ = [
     "replicated",
     "shard_batch",
     "device_count",
+    "initialize_multiprocess",
+    "free_port",
+    "global_batch",
 ]
