@@ -25,6 +25,12 @@ from .samplers import (
     SamplerEnsemble,
 )
 from .buffers import ReplayBuffer, TensorDictReplayBuffer, PrioritizedReplayBuffer
+from .checkpointers import (
+    FlatStorageCheckpointer,
+    H5StorageCheckpointer,
+    NestedStorageCheckpointer,
+    checkpointer_for,
+)
 from .ensemble import ReplayBufferEnsemble, OfflineToOnlineBuffer
 
 __all__ = [
@@ -57,6 +63,10 @@ __all__ = [
     "PromptGroupSampler",
     "SamplerEnsemble",
     "save_storage",
+    "FlatStorageCheckpointer",
+    "NestedStorageCheckpointer",
+    "H5StorageCheckpointer",
+    "checkpointer_for",
     "load_storage",
 ]
 

@@ -195,6 +195,68 @@ class ReplayBuffer:
                 self._jit_update_priority = jax.jit(self.update_priority_fn)
             self._state = self._jit_update_priority(self._state, idx, priority)
 
+    # -- checkpointing (reference ReplayBuffer.dumps/loads + the
+    # checkpointers.py hierarchy) ------------------------------------------
+    def dumps(self, path: str, format: str = "flat") -> None:
+        """Persist the FULL buffer — storage contents, sampler state
+        (including host segment-tree priorities), writer cursor, and the
+        wrapper's PRNG key — into directory ``path``.  ``format``:
+        flat (.npz) | nested (.npy dir) | h5."""
+        import json
+        import os
+
+        import numpy as np
+
+        from .checkpointers import checkpointer_for
+
+        with self._lock:
+            os.makedirs(path, exist_ok=True)
+            cp = checkpointer_for(format)
+            meta = {"format": format,
+                    "has_state": self._state is not None,
+                    "has_key": self._key is not None,
+                    "has_host_sampler": hasattr(self.sampler, "state_dict")}
+            if self._state is not None:
+                cp.save(self._state, os.path.join(path, "state" + cp.extension))
+            if self._key is not None:
+                np.save(os.path.join(path, "key.npy"), np.asarray(self._key))
+            if meta["has_host_sampler"]:
+                np.savez(os.path.join(path, "host_sampler.npz"),
+                         **self.sampler.state_dict())
+            with open(os.path.join(path, "meta.json"), "w") as f:
+                json.dump(meta, f)
+
+    def loads(self, path: str) -> None:
+        """Inverse of :meth:`dumps`: restores state so subsequent sampling
+        continues identically (a resume test asserts bit-equality)."""
+        import json
+        import os
+
+        import numpy as np
+
+        from .checkpointers import checkpointer_for
+
+        with self._lock:
+            with open(os.path.join(path, "meta.json")) as f:
+                meta = json.load(f)
+            cp = checkpointer_for(meta["format"])
+            if meta["has_state"]:
+                st = cp.load(os.path.join(path, "state" + cp.extension))
+                # leafless sections (RandomSampler's empty state, host
+                # samplers' None) vanish in the flat dump — restore them
+                for section, init in (("sampler", self.sampler.init),
+                                      ("writer", self.writer.init)):
+                    if section not in st:
+                        st = st.set(section, init())
+                self._state = st
+            if meta["has_key"]:
+                self._key = jnp.asarray(np.load(os.path.join(path, "key.npy")))
+            if meta.get("has_host_sampler") and hasattr(self.sampler,
+                                                        "load_state_dict"):
+                with np.load(os.path.join(path, "host_sampler.npz")) as z:
+                    self.sampler.load_state_dict(
+                        {k: z[k] for k in z.files})
+
     def stats(self) -> dict:
         """Cheap scalar snapshot for LoggerMonitor (reference
         monitoring.py protocol)."""

@@ -218,6 +218,21 @@ class HostPrioritizedSampler:
         self._min_tree[idx] = pa
         return sstate
 
+    # -- checkpointing (reference rb.dumps/loads include sampler state) ----
+    def state_dict(self) -> dict:
+        np = self._np
+        idx = np.arange(self.capacity)
+        return {"values": np.asarray(self._sum_tree[idx]),
+                "max_priority": self._max_priority}
+
+    def load_state_dict(self, sd: dict) -> None:
+        np = self._np
+        idx = np.arange(self.capacity)
+        vals = np.asarray(sd["values"], np.float64)
+        self._sum_tree[idx] = vals
+        self._min_tree[idx] = vals
+        self._max_priority = float(sd["max_priority"])
+
 
 class SliceSampler:
     """Sample fixed-length sub-trajectory windows from flat storage
