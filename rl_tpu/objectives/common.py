@@ -56,8 +56,15 @@ class LossModule:
 
 
 def make_target_params(params: TDict) -> TDict:
-    """Detached clone of the online params (reference common.py:496)."""
-    return jax.tree.map(jax.lax.stop_gradient, params)
+    """Detached clone of the online params (reference common.py:496).
+
+    A REAL copy, not an alias: immutability makes aliasing semantically
+    safe, but donated training loops would then donate the same buffer
+    twice (online + target leaf) and XLA rejects that at execute time."""
+    import jax.numpy as jnp
+
+    return jax.tree.map(lambda x: jnp.array(jax.lax.stop_gradient(x),
+                                            copy=True), params)
 
 
 class SoftUpdate:

@@ -114,7 +114,9 @@ class PPOTrainer(_TrainerBase):
         self.tx = _split_optimizer(self.params, {"actor": lr_actor, "critic": lr_critic})
         self.opt_state = self.tx.init(self.params)
         self._key = key
-        self._update = jax.jit(self._update_impl)
+        # donate carried state: pass-through jit outputs otherwise copy
+        # every buffer (params, opt state, env state) once per iteration
+        self._update = jax.jit(self._update_impl, donate_argnums=(0, 1, 2))
 
     def _make_loss(self, actor, critic, *, clip_epsilon, entropy_coeff):
         return ClipPPOLoss(actor, critic, clip_epsilon=clip_epsilon,
@@ -239,7 +241,9 @@ class _OffPolicyTrainer(_TrainerBase):
             return (params, opt_state, rb_state, cstate, aux,
                     batch["next", "reward"].mean())
 
-        return jax.jit(update)
+        # donating rb_state matters most: an undonated 1M-slot buffer is
+        # fully copied through the jit boundary every iteration
+        return jax.jit(update, donate_argnums=(0, 1, 2, 3, 4))
 
     def train(self):
         self._key, k = jax.random.split(self._key)
@@ -538,7 +542,7 @@ class OfflineTrainer(_TrainerBase):
         self.tx = optax.adam(lr)
         self.opt_state = self.tx.init(self.params)
         self._n = int(jnp.asarray(jax.tree.leaves(dataset)[0]).shape[0])
-        self._chunk = jax.jit(self._chunk_impl)
+        self._chunk = jax.jit(self._chunk_impl, donate_argnums=(0, 1))
 
     def _chunk_impl(self, params, opt_state, key):
         def step(carry, k):
