@@ -54,22 +54,27 @@ class Evaluator:
         ys = self._jit_rollout(params, key)
         reward = np.asarray(ys["next", "reward"])
         done = np.asarray(ys["next", "done"])
-        # per-episode returns from done-segmented cumulative sums
+        # per-episode returns via done-segmented cumulative sums —
+        # vectorized: the old python double loop was O(T*B) interpreter
+        # work per eval and dwarfed the jitted rollout at 1000x big-batch
         r = reward.squeeze(-1)
         d = done.squeeze(-1)
-        flat_r = r.reshape(r.shape[0], -1)
+        flat_r = r.reshape(r.shape[0], -1)  # [T, B]
         flat_d = d.reshape(d.shape[0], -1)
-        ep_returns = []
-        ep_lengths = []
-        for b in range(flat_r.shape[1]):
-            acc, length = 0.0, 0
-            for t in range(flat_r.shape[0]):
-                acc += float(flat_r[t, b])
-                length += 1
-                if flat_d[t, b]:
-                    ep_returns.append(acc)
-                    ep_lengths.append(length)
-                    acc, length = 0.0, 0
+        T, B = flat_r.shape
+        csum = np.concatenate([np.zeros((1, B)), flat_r.cumsum(0)])  # [T+1, B]
+        t_idx, b_idx = np.nonzero(flat_d)  # done positions, time-major? no:
+        # np.nonzero on [T, B] returns row-major (t ascending per b only
+        # after sorting); sort by (b, t) so diffs segment per env
+        order = np.lexsort((t_idx, b_idx))
+        t_idx, b_idx = t_idx[order], b_idx[order]
+        ends = csum[t_idx + 1, b_idx]
+        first = np.ones_like(b_idx, bool)
+        first[1:] = b_idx[1:] != b_idx[:-1]
+        prev_ends = np.where(first, 0.0, np.concatenate([[0.0], ends[:-1]]))
+        prev_t = np.where(first, -1, np.concatenate([[-1], t_idx[:-1]]))
+        ep_returns = (ends - prev_ends).tolist()
+        ep_lengths = (t_idx - prev_t).tolist()
         stats = {
             "reward_mean": float(r.mean()),
             "episode_return_mean": float(np.mean(ep_returns)) if ep_returns else float(r.sum(0).mean()),

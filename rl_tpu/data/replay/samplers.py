@@ -104,12 +104,23 @@ class PrioritizedSampler:
     """Proportional prioritized replay (Schaul et al. 2016; reference
     samplers.py:942).
 
-    State: raw priorities ``[capacity]`` (+ running max).  Sampling computes
-    ``cdf = cumsum(p^α · valid)`` and inverse-CDF samples via
-    ``searchsorted`` — the XLA-native equivalent of the reference's segment
-    -tree ``ScanLowerBound`` (csrc/segment_tree.h:289).  IS weights follow
-    the reference: ``w = (p/total)^{-β}`` normalized by the batch max.
+    State: raw priorities ``[capacity]`` + pre-powered ``pa = (p+eps)^α``
+    (zero on never-written slots, so no validity mask is needed) + running
+    max.  Sampling is a TWO-LEVEL inverse CDF — the XLA-native equivalent
+    of the reference's segment tree (csrc/segment_tree.h:289) tuned for
+    wide vector units rather than pointer chasing:
+
+    1. block sums ``pa.reshape(nb, B).sum(1)`` (a vector reduce, not the
+       serial full-capacity ``cumsum`` the naive design needs — that scan
+       was the measured replay bottleneck: 20 ms per draw at 1M slots),
+    2. ``searchsorted`` over the ``nb``-long block CDF,
+    3. a per-draw gather of ONE block row + a row-wise cumsum/searchsorted.
+
+    IS weights follow the reference: ``w = (p/total)^{-β}`` normalized by
+    the batch max.
     """
+
+    BLOCK = 1024
 
     def __init__(self, capacity: int, alpha: float = 0.6, beta: float = 0.4,
                  eps: float = 1e-8):
@@ -117,39 +128,50 @@ class PrioritizedSampler:
         self.alpha = float(alpha)
         self.beta = float(beta)
         self.eps = float(eps)
+        self.n_blocks = -(-self.capacity // self.BLOCK)
+        self.padded = self.n_blocks * self.BLOCK
 
     def init(self) -> TDict:
         return TDict(
             priorities=jnp.zeros((self.capacity,), jnp.float32),
+            pa=jnp.zeros((self.padded,), jnp.float32),
             max_priority=jnp.ones((), jnp.float32),
         )
 
     def extend(self, sstate: TDict, idx) -> TDict:
         """New items get the running max priority (reference default)."""
-        p = sstate["priorities"].at[idx].set(sstate["max_priority"])
-        return sstate.set("priorities", p)
+        idx = jnp.asarray(idx).reshape(-1)
+        mx = sstate["max_priority"]
+        p = sstate["priorities"].at[idx].set(mx)
+        pa = sstate["pa"].at[idx].set((mx + self.eps) ** self.alpha)
+        return sstate.set("priorities", p).set("pa", pa)
 
     def sample(self, sstate: TDict, size, batch_size: int, key, beta=None):
         beta = self.beta if beta is None else beta
-        p = sstate["priorities"]
-        valid = jnp.arange(self.capacity) < size
-        pa = jnp.where(valid, (p + self.eps) ** self.alpha, 0.0)
-        cdf = jnp.cumsum(pa)
-        total = cdf[-1]
+        B, nb = self.BLOCK, self.n_blocks
+        pa = sstate["pa"].reshape(nb, B)
+        blocks = pa.sum(axis=1)                     # [nb] vector reduce
+        bcdf = jnp.cumsum(blocks)                   # short scan
+        total = bcdf[-1]
         u = jax.random.uniform(key, (batch_size,), minval=0.0, maxval=total)
-        idx = jnp.clip(
-            jnp.searchsorted(cdf, u, side="right"), 0, self.capacity - 1
-        ).astype(jnp.int32)
-        probs = pa[idx] / jnp.maximum(total, 1e-12)
+        b = jnp.clip(jnp.searchsorted(bcdf, u, side="right"), 0, nb - 1)
+        u_in = u - (bcdf[b] - blocks[b])
+        rows = pa[b]                                # [batch, B] gather
+        rcdf = jnp.cumsum(rows, axis=1)
+        j = jnp.clip(jnp.sum(rcdf < u_in[:, None], axis=1), 0, B - 1)
+        idx = jnp.clip(b * B + j, 0, self.capacity - 1).astype(jnp.int32)
+        probs = sstate["pa"][idx] / jnp.maximum(total, 1e-12)
         weights = (jnp.maximum(probs, 1e-12) * jnp.maximum(size, 1)) ** (-beta)
         weights = weights / jnp.maximum(jnp.max(weights), 1e-12)
         return sstate, idx, TDict(_weight=weights, index=idx)
 
     def update_priority(self, sstate: TDict, idx, priority) -> TDict:
+        idx = jnp.asarray(idx).reshape(-1)
         priority = jnp.abs(jnp.asarray(priority, jnp.float32).reshape(-1))
-        p = sstate["priorities"].at[jnp.asarray(idx).reshape(-1)].set(priority)
+        p = sstate["priorities"].at[idx].set(priority)
+        pa = sstate["pa"].at[idx].set((priority + self.eps) ** self.alpha)
         mx = jnp.maximum(sstate["max_priority"], jnp.max(priority))
-        return TDict(priorities=p, max_priority=mx)
+        return TDict(priorities=p, pa=pa, max_priority=mx)
 
 
 class HostPrioritizedSampler:
