@@ -4,6 +4,16 @@ Flagship pipeline: 4096 on-device Breakout (MinAtar-style) envs stepping in
 lockstep with a conv policy, GAE, and 4 minibatch PPO updates — everything
 one fused jit.  Prints ONE JSON line.
 
+Beyond the headline 10x10 MinAtar number the line carries (VERDICT r2
+item #9 — map the bench to BASELINE-class workloads):
+
+* ``pixel84``: the same pipeline at 84x84x4 frames with the Nature-DQN
+  conv stack (32/64/64, 8/4/3 strides) in bfloat16 — the Atari-Pong
+  BASELINE shape — plus a collect/GAE/update phase breakdown in ms;
+* ``host_bridge``: HalfCheetah host-pool collection env-steps/s through
+  the io_callback bridge (the SAC/PPO MuJoCo BASELINE data path),
+  skipped gracefully when MuJoCo is unavailable.
+
 Baseline: the north star is >=1M env-steps/s aggregate on a 16-chip slice
 (BASELINE.md) → 62.5k steps/s/chip; vs_baseline is measured per-chip
 throughput over that target.  (For scale: the reference's headline Dreamer
@@ -13,6 +23,7 @@ README.md:162.)
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
@@ -22,25 +33,31 @@ import optax
 PER_CHIP_TARGET = 1_000_000 / 16
 
 
-def build(num_envs: int = 4096, steps: int = 32):
+def _sync(x) -> float:
+    # value read — block_until_ready does not reliably fence on this
+    # container's tunneled PJRT backend
+    return float(x)
+
+
+def build_ppo(env, obs_shape, *, num_envs, steps, channels, kernels,
+              strides, n_actions, dtype=jnp.float32, pixel_key="pixels"):
     from rl_tpu.collectors import Collector
     from rl_tpu.data import TDict
-    from rl_tpu.envs import BatchedEnv
-    from rl_tpu.envs.minatar import BreakoutEnv
-    from rl_tpu.modules import MLP, Categorical, ConvNet, ProbabilisticActor, Seq, TDModule
+    from rl_tpu.modules import (MLP, Categorical, ConvNet,
+                                ProbabilisticActor, Seq, TDModule)
     from rl_tpu.objectives import GAE, ClipPPOLoss
 
-    env = BatchedEnv(BreakoutEnv(), num_envs)
     net = Seq(
-        TDModule(ConvNet(channels=(16, 32), kernel_sizes=(3, 3), strides=(1, 1)),
-                 ["pixels"], ["hidden"]),
-        TDModule(MLP(out_features=3, num_cells=(128,), activation="relu"),
-                 ["hidden"], ["logits"]),
+        TDModule(ConvNet(channels=channels, kernel_sizes=kernels,
+                         strides=strides, dtype=dtype),
+                 [pixel_key], ["hidden"]),
+        TDModule(MLP(out_features=n_actions, num_cells=(512,),
+                     activation="relu", dtype=dtype), ["hidden"], ["logits"]),
     )
     actor = ProbabilisticActor(net, Categorical, dist_keys=["logits"])
 
     class SeqValue:
-        in_keys = ["pixels"]
+        in_keys = [pixel_key]
         out_keys = ["state_value"]
 
         def __init__(self, seq):
@@ -53,13 +70,13 @@ def build(num_envs: int = 4096, steps: int = 32):
             return self.seq(params, td, key=key)
 
     critic = SeqValue(Seq(
-        TDModule(ConvNet(channels=(16, 32), kernel_sizes=(3, 3), strides=(1, 1)),
-                 ["pixels"], ["h2"]),
-        TDModule(MLP(out_features=1, num_cells=(128,), activation="relu"),
-                 ["h2"], ["state_value"]),
+        TDModule(ConvNet(channels=channels, kernel_sizes=kernels,
+                         strides=strides, dtype=dtype), [pixel_key], ["h2"]),
+        TDModule(MLP(out_features=1, num_cells=(512,), activation="relu",
+                     dtype=dtype), ["h2"], ["state_value"]),
     ))
     key = jax.random.PRNGKey(0)
-    td0 = TDict(pixels=jnp.zeros((1, 10, 10, 4)))
+    td0 = TDict(**{pixel_key: jnp.zeros((1,) + obs_shape)})
     params = TDict(actor=actor.init(key, td0), critic=critic.init(key, td0))
     collector = Collector(env, lambda p, td, k: actor(p["actor"], td, key=k),
                           frames_per_batch=num_envs * steps)
@@ -67,19 +84,15 @@ def build(num_envs: int = 4096, steps: int = 32):
     loss_mod = ClipPPOLoss(actor, critic)
     tx = optax.adam(3e-4)
     opt_state = tx.init(params)
-
     M = 4  # minibatches
 
-    def train_step(params, opt_state, cstate, k):
-        cstate, batch = collector._collect(params, cstate)
-        batch = gae(params["critic"], batch)
+    def update_phase(params, opt_state, batch, k):
         flat = batch.apply(lambda x: x.reshape((-1,) + x.shape[2:]))
         n = flat["advantage"].shape[0]
         # TPU-native minibatch shuffle: random roll (slices+concat) then a
-        # strided interleave — minibatch i is every M-th element.  A
-        # permutation gather of the pixel batch costs ~40 ms/step on v5e;
-        # this is bitwise-cheap and equally well mixed (measured 1.7x
-        # end-to-end over the gather design).
+        # strided interleave — a permutation gather of the pixel batch
+        # costs ~40 ms/step on v5e; this is bitwise-cheap and equally
+        # well mixed (measured 1.7x end-to-end over the gather design).
         shift = jax.random.randint(k, (), 0, n)
         flat = flat.apply(lambda x: jnp.roll(x, shift, axis=0))
         flat = flat.apply(lambda x: x.reshape((n // M, M) + x.shape[1:]))
@@ -95,41 +108,164 @@ def build(num_envs: int = 4096, steps: int = 32):
 
         (params, opt_state), _ = jax.lax.scan(
             mb, (params, opt_state), jnp.arange(M))
+        return params, opt_state
+
+    def train_step(params, opt_state, cstate, k):
+        cstate, batch = collector._collect(params, cstate)
+        batch = gae(params["critic"], batch)
+        params, opt_state = update_phase(params, opt_state, batch, k)
         return params, opt_state, cstate, batch["next", "reward"].mean()
 
-    return collector, params, opt_state, train_step
+    return dict(collector=collector, params=params, opt_state=opt_state,
+                train_step=train_step, gae=gae, update_phase=update_phase)
 
 
-def main() -> None:
-    num_envs, steps = 4096, 32
-    collector, params, opt_state, train_step = build(num_envs, steps)
+def bench_fused(built, *, num_envs, steps, iters=20, windows=3):
+    collector = built["collector"]
+    params, opt_state = built["params"], built["opt_state"]
     key = jax.random.PRNGKey(0)
     cstate = collector.init(key)
-    step = jax.jit(train_step)
+    step = jax.jit(built["train_step"])
     params, opt_state, cstate, r = step(params, opt_state, cstate, key)
-    float(r)  # value sync — block_until_ready alone does not reliably
-    # fence on this container's tunneled PJRT backend
-
-    iters = 20
+    _sync(r)
     best_dt = float("inf")
-    for _ in range(3):  # best-of-3 windows: robust to host contention
+    for _ in range(windows):  # best-of-N: robust to host contention
         t0 = time.perf_counter()
         for _ in range(iters):
             key, k = jax.random.split(key)
             params, opt_state, cstate, r = step(params, opt_state, cstate, k)
-        float(r)
+        _sync(r)
         best_dt = min(best_dt, time.perf_counter() - t0)
-    steps_per_s = iters * num_envs * steps / best_dt
-    print(
-        json.dumps(
-            {
-                "metric": "pixel_ppo_env_steps_per_s",
-                "value": round(steps_per_s, 1),
-                "unit": "env-steps/s (Breakout pixels: collect+GAE+4 PPO updates, 1 chip)",
-                "vs_baseline": round(steps_per_s / PER_CHIP_TARGET, 3),
-            }
-        )
-    )
+    return iters * num_envs * steps / best_dt
+
+
+def bench_phases(built, *, iters=10):
+    """collect / GAE / update wall-ms per iteration, measured separately."""
+    collector = built["collector"]
+    params, opt_state = built["params"], built["opt_state"]
+    key = jax.random.PRNGKey(0)
+    cstate = collector.init(key)
+
+    collect_j = jax.jit(collector._collect)
+    gae_j = jax.jit(lambda p, b: built["gae"](p["critic"], b))
+    upd_j = jax.jit(built["update_phase"])
+
+    cstate, batch = collect_j(params, cstate)
+    _sync(batch["next", "reward"].mean())
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        cstate, batch = collect_j(params, cstate)
+    _sync(batch["next", "reward"].mean())
+    t_collect = (time.perf_counter() - t0) / iters
+
+    gbatch = gae_j(params, batch)
+    _sync(gbatch["advantage"].mean())
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        gbatch = gae_j(params, batch)
+    _sync(gbatch["advantage"].mean())
+    t_gae = (time.perf_counter() - t0) / iters
+
+    p, o = upd_j(params, opt_state, gbatch, key)
+    _sync(jax.tree.leaves(p)[0].reshape(-1)[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        p, o = upd_j(params, opt_state, gbatch, key)
+    _sync(jax.tree.leaves(p)[0].reshape(-1)[0])
+    t_update = (time.perf_counter() - t0) / iters
+    return {"collect_ms": round(t_collect * 1e3, 2),
+            "gae_ms": round(t_gae * 1e3, 2),
+            "update_ms": round(t_update * 1e3, 2)}
+
+
+def make_pixel84_env(num_envs):
+    """Breakout upscaled to 84x84x4 — the Atari-class pixel shape (the
+    BASELINE Pong config; ALE itself is not in this image)."""
+    from rl_tpu.envs import BatchedEnv
+    from rl_tpu.envs.minatar import BreakoutEnv
+
+    class Breakout84(BreakoutEnv):
+        @property
+        def observation_spec(self):
+            from rl_tpu.data import Composite, Unbounded
+
+            return Composite(pixels=Unbounded((84, 84, 4), jnp.float32))
+
+        def _upscale(self, px):
+            big = jnp.repeat(jnp.repeat(px, 8, axis=0), 8, axis=1)  # 80x80
+            return jnp.pad(big, ((2, 2), (2, 2), (0, 0)))
+
+        def _reset(self, key):
+            state, td = super()._reset(key)
+            return state, td.set("pixels", self._upscale(td["pixels"]))
+
+        def _step(self, state, td, key):
+            state, out = super()._step(state, td, key)
+            return state, out.set("pixels", self._upscale(out["pixels"]))
+
+    return BatchedEnv(Breakout84(), num_envs)
+
+
+def bench_host_bridge(steps=300, num_envs=8):
+    """HalfCheetah host-pool collection through the io_callback bridge."""
+    try:
+        from rl_tpu.envs.libs import GymEnv
+
+        env = GymEnv("HalfCheetah-v4", num_envs=num_envs)
+    except Exception:
+        return None
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def roll(key):
+        _, ys, _ = env.rollout(steps, key=key)
+        return ys["next", "reward"].sum()
+
+    _sync(roll(key))
+    t0 = time.perf_counter()
+    _sync(roll(jax.random.PRNGKey(1)))
+    dt = time.perf_counter() - t0
+    env.close()
+    return round(num_envs * steps / dt, 1)
+
+
+def main() -> None:
+    smoke = "smoke" in sys.argv[1:]
+    from rl_tpu.envs import BatchedEnv
+    from rl_tpu.envs.minatar import BreakoutEnv
+
+    # -- headline: MinAtar pixels, fp32 (continuity with r01/r02 numbers)
+    num_envs, steps = (64, 8) if smoke else (4096, 32)
+    env = BatchedEnv(BreakoutEnv(), num_envs)
+    built = build_ppo(env, (10, 10, 4), num_envs=num_envs, steps=steps,
+                      channels=(16, 32), kernels=(3, 3), strides=(1, 1),
+                      n_actions=3)
+    headline = bench_fused(built, num_envs=num_envs, steps=steps,
+                           iters=3 if smoke else 20)
+
+    # -- representative: 84x84x4, Nature-DQN conv, bf16 compute
+    n84, s84 = (16, 4) if smoke else (256, 32)
+    env84 = make_pixel84_env(n84)
+    built84 = build_ppo(env84, (84, 84, 4), num_envs=n84, steps=s84,
+                        channels=(32, 64, 64), kernels=(8, 4, 3),
+                        strides=(4, 2, 1), n_actions=3,
+                        dtype=jnp.bfloat16)
+    pixel84 = bench_fused(built84, num_envs=n84, steps=s84,
+                          iters=2 if smoke else 10, windows=2)
+    phases84 = bench_phases(built84, iters=2 if smoke else 10)
+
+    bridge = bench_host_bridge(steps=20 if smoke else 300)
+
+    print(json.dumps({
+        "metric": "pixel_ppo_env_steps_per_s",
+        "value": round(headline, 1),
+        "unit": "env-steps/s (Breakout pixels: collect+GAE+4 PPO updates, 1 chip)",
+        "vs_baseline": round(headline / PER_CHIP_TARGET, 3),
+        "pixel84_env_steps_per_s": round(pixel84, 1),
+        "pixel84_phases": phases84,
+        "pixel84_config": "84x84x4, Nature conv 32/64/64 bf16, 256 envs",
+        "host_bridge_env_steps_per_s": bridge,
+    }))
 
 
 if __name__ == "__main__":
