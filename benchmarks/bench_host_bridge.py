@@ -120,6 +120,34 @@ def bench_sac_iter(env_name: str, num_envs: int, iters: int,
     }
 
 
+def bench_pipelined(env_name: str, num_envs: int, steps: int) -> float:
+    """Double-buffered collection: device policy compute of one env group
+    overlaps host stepping of the other (collectors/pipelined.py)."""
+    import gymnasium
+    import jax.numpy as jnp
+
+    from rl_tpu.collectors.pipelined import PipelinedHostCollector
+
+    probe = gymnasium.make(env_name)
+    obs_dim = probe.observation_space.shape[0]
+    act_dim = probe.action_space.shape[0]
+    probe.close()
+
+    def policy(params, td, key):
+        obs = jnp.asarray(td["observation"])
+        return td.set("action", jnp.tanh(obs @ params["w"]))
+
+    params = {"w": jnp.zeros((obs_dim, act_dim), jnp.float32)}
+    coll = PipelinedHostCollector(lambda: gymnasium.make(env_name), num_envs,
+                                  policy, frames_per_batch=num_envs * steps)
+    coll.collect(params, jax.random.PRNGKey(0))  # compile + prime
+    t0 = time.perf_counter()
+    coll.collect(params, jax.random.PRNGKey(1))
+    dt = time.perf_counter() - t0
+    coll.close()
+    return num_envs * steps / dt
+
+
 def main_cli(argv):
     cfg = dict(steps=2000, num_envs=8, env_name="HalfCheetah-v4",
                sac_iters=20, frames_per_batch=64, utd=64)
@@ -128,9 +156,12 @@ def main_cli(argv):
         cfg[k] = type(cfg.get(k, v))(v) if k in cfg else v
     print(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     raw = bench_raw_pool(cfg["env_name"], cfg["num_envs"], cfg["steps"])
-    print(f"raw host pool: {raw:,.0f} env-steps/s")
+    print(f"raw host pool: {raw:,.0f} env-steps/s", flush=True)
     br = bench_bridge(cfg["env_name"], cfg["num_envs"], cfg["steps"])
-    print(f"io_callback bridge (jit scan): {br:,.0f} env-steps/s")
+    print(f"io_callback bridge (jit scan): {br:,.0f} env-steps/s", flush=True)
+    pl = bench_pipelined(cfg["env_name"], cfg["num_envs"], cfg["steps"])
+    print(f"pipelined double-buffered: {pl:,.0f} env-steps/s "
+          f"({pl / max(br, 1):.2f}x over serial bridge)", flush=True)
     sac = bench_sac_iter(cfg["env_name"], cfg["num_envs"], cfg["sac_iters"],
                          cfg["frames_per_batch"], cfg["utd"])
     print(f"SAC iter (fpb={cfg['frames_per_batch']}, utd={cfg['utd']}): "
