@@ -88,6 +88,8 @@ class GymEnv(Env):
     (batching is the pool's job).
     """
 
+    host_autoreset = True
+
     def __init__(self, env_name: str, num_envs: int = 1,
                  num_threads: int | None = None, **make_kwargs):
         import gymnasium

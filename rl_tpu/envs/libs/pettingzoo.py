@@ -116,6 +116,8 @@ class _PZPool:
 class PettingZooWrapper(Env):
     """Batched parallel-API PettingZoo envs bridged via io_callback."""
 
+    host_autoreset = True
+
     def __init__(self, env_fn: Callable[[], Any], num_envs: int = 1):
         self._pool = _PZPool([env_fn for _ in range(num_envs)])
         self.num_envs = int(num_envs)

@@ -252,6 +252,22 @@ class TransformedEnv(Env):
         return TDict(env=env_state, t=tstate), td.set("next", next_td)
 
     def step_and_maybe_reset(self, state, td, key):
+        if getattr(self.env, "host_autoreset", False):
+            # host-bridge envs (GymEnv & co) reset on the host inside the
+            # same callback and only expose step_and_maybe_reset; apply the
+            # transform's step() to the pre-reset next (stats update) and
+            # its reset() to the post-reset root (normalize WITHOUT a
+            # second stats update — VecNorm.reset keeps carried stats).
+            # Row-stateful transforms (CatFrames primers) need the native
+            # path; stat/stateless transforms are exact here.
+            k_step, k_reset = jax.random.split(key)
+            td_in = self.transform.inv(state["t"], td)
+            env_state, full_td, root = self.env.step_and_maybe_reset(
+                state["env"], td_in, k_step)
+            tstate, next_td = self.transform.step(state["t"], full_td["next"])
+            tstate, root_td = self.transform.reset(k_reset, tstate, root)
+            return (TDict(env=env_state, t=tstate),
+                    td.set("next", next_td), root_td)
         k_step, k_reset = jax.random.split(key)
         new_state, full_td = self.step(state, td, k_step)
         done = full_td["next", "done"]

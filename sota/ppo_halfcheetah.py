@@ -10,7 +10,9 @@ import jax
 
 from rl_tpu.config import apply_overrides
 from rl_tpu.collectors.evaluator import Evaluator
+from rl_tpu.envs import TransformedEnv
 from rl_tpu.envs.libs import GymEnv
+from rl_tpu.envs.transforms import VecNorm
 from rl_tpu.modules import (MLP, NormalParamExtractor, ProbabilisticActor,
                             Seq, TanhNormal, TDModule, ValueOperator)
 from rl_tpu.record import CSVLogger, generate_exp_name
@@ -26,7 +28,10 @@ DEFAULTS = dict(
 
 def main(cfg=None):
     cfg = {**DEFAULTS, **(cfg or {})}
-    env = GymEnv(cfg["env_name"], num_envs=cfg["num_envs"])
+    # reference config_mujoco.yaml sets normalize_observation: True — PPO
+    # with tanh nets flatlines on raw HalfCheetah observations (the r2 run)
+    env = TransformedEnv(GymEnv(cfg["env_name"], num_envs=cfg["num_envs"]),
+                         VecNorm(batch_ndim=1))
     act_spec = env.action_spec
     act_dim = act_spec.shape[-1]
     net = Seq(
