@@ -206,31 +206,49 @@ def make_pixel84_env(num_envs):
     return BatchedEnv(Breakout84(), num_envs)
 
 
-def bench_host_bridge(steps=300, num_envs=8):
-    """HalfCheetah host-pool collection through the io_callback bridge."""
-    try:
-        from rl_tpu.envs.libs import GymEnv
+def bench_host_bridge(steps=300, num_envs=8, budget_s=240.0):
+    """HalfCheetah host-pool collection through the io_callback bridge.
 
-        env = GymEnv("HalfCheetah-v4", num_envs=num_envs)
-    except Exception:
-        return None
-    key = jax.random.PRNGKey(0)
+    Runs under a watchdog: on the tunneled TPU backend an io_callback
+    chain can wedge for minutes; the whole bench must never lose its
+    earlier results to this phase, so a stuck run reports null.
+    """
+    import threading
 
-    @jax.jit
-    def roll(key):
-        _, ys, _ = env.rollout(steps, key=key)
-        return ys["next", "reward"].sum()
+    out: list = []
 
-    _sync(roll(key))
-    t0 = time.perf_counter()
-    _sync(roll(jax.random.PRNGKey(1)))
-    dt = time.perf_counter() - t0
-    env.close()
-    return round(num_envs * steps / dt, 1)
+    def run():
+        try:
+            from rl_tpu.envs.libs import GymEnv
+
+            env = GymEnv("HalfCheetah-v4", num_envs=num_envs)
+            key = jax.random.PRNGKey(0)
+
+            @jax.jit
+            def roll(key):
+                _, ys, _ = env.rollout(steps, key=key)
+                return ys["next", "reward"].sum()
+
+            _sync(roll(key))
+            t0 = time.perf_counter()
+            _sync(roll(jax.random.PRNGKey(1)))
+            dt = time.perf_counter() - t0
+            out.append(round(num_envs * steps / dt, 1))
+        except Exception:
+            out.append(None)
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    th.join(timeout=budget_s)
+    return out[0] if out else None
 
 
 def main() -> None:
     smoke = "smoke" in sys.argv[1:]
+
+    def note(msg):  # progress to stderr; stdout carries ONLY the JSON line
+        print(msg, file=sys.stderr, flush=True)
+
     from rl_tpu.envs import BatchedEnv
     from rl_tpu.envs.minatar import BreakoutEnv
 
@@ -242,6 +260,7 @@ def main() -> None:
                       n_actions=3)
     headline = bench_fused(built, num_envs=num_envs, steps=steps,
                            iters=3 if smoke else 20)
+    note(f"[bench] headline MinAtar: {headline:,.0f} env-steps/s")
 
     # -- representative: 84x84x4, Nature-DQN conv, bf16 compute
     n84, s84 = (16, 4) if smoke else (256, 32)
@@ -252,9 +271,13 @@ def main() -> None:
                         dtype=jnp.bfloat16)
     pixel84 = bench_fused(built84, num_envs=n84, steps=s84,
                           iters=2 if smoke else 10, windows=2)
+    note(f"[bench] pixel84: {pixel84:,.0f} env-steps/s")
     phases84 = bench_phases(built84, iters=2 if smoke else 10)
+    note(f"[bench] pixel84 phases: {phases84}")
 
-    bridge = bench_host_bridge(steps=20 if smoke else 300)
+    bridge = bench_host_bridge(steps=20 if smoke else 300,
+                               budget_s=60.0 if smoke else 240.0)
+    note(f"[bench] host bridge: {bridge}")
 
     print(json.dumps({
         "metric": "pixel_ppo_env_steps_per_s",
@@ -265,7 +288,11 @@ def main() -> None:
         "pixel84_phases": phases84,
         "pixel84_config": "84x84x4, Nature conv 32/64/64 bf16, 256 envs",
         "host_bridge_env_steps_per_s": bridge,
-    }))
+    }), flush=True)
+    # a wedged bridge thread must not hang interpreter shutdown
+    import os
+
+    os._exit(0)
 
 
 if __name__ == "__main__":
