@@ -23,6 +23,7 @@ __all__ = [
     "NoisyLinear",
     "BatchRenorm",
     "fan_in_uniform",
+    "AddStateIndependentNormalScale",
 ]
 
 ActivationFn = Callable[[jax.Array], jax.Array]
@@ -83,21 +84,28 @@ class MLP(nn.Module):
     activate_last_layer: bool = False
     layer_norm: bool = False
     dtype: Any = jnp.float32
+    kernel_init: Any = None   # None -> torch-default fan_in_uniform;
+    # pass e.g. nn.initializers.orthogonal(1.0) for the reference's PPO
+    # recipe (utils_mujoco.py orthogonal init, zero bias)
 
     @nn.compact
     def __call__(self, *inputs) -> jax.Array:
         x = jnp.concatenate([jnp.asarray(i, self.dtype) for i in inputs], axis=-1) \
             if len(inputs) > 1 else jnp.asarray(inputs[0], self.dtype)
         act = _resolve_activation(self.activation)
+        kinit = self.kernel_init
         for width in self.num_cells:
-            x = nn.Dense(width, dtype=self.dtype, kernel_init=fan_in_uniform,
-                         bias_init=_fan_in_bias(x.shape[-1]))(x)
+            x = nn.Dense(width, dtype=self.dtype,
+                         kernel_init=kinit or fan_in_uniform,
+                         bias_init=(nn.initializers.zeros if kinit is not None
+                                    else _fan_in_bias(x.shape[-1])))(x)
             if self.layer_norm:
                 x = nn.LayerNorm(dtype=self.dtype)(x)
             x = act(x)
         x = nn.Dense(self.out_features, dtype=self.dtype,
-                     kernel_init=fan_in_uniform,
-                     bias_init=_fan_in_bias(x.shape[-1]))(x)
+                     kernel_init=kinit or fan_in_uniform,
+                     bias_init=(nn.initializers.zeros if kinit is not None
+                                else _fan_in_bias(x.shape[-1])))(x)
         if self.activate_last_layer:
             x = act(x)
         return x
@@ -129,6 +137,35 @@ class ConvNet(nn.Module):
             x = act(x)
         x = x.reshape(lead + (-1,))
         return x
+
+
+class AddStateIndependentNormalScale(nn.Module):
+    """State-independent learned Gaussian scale (the Schulman-17 PPO
+    parameterization; reference tensordict ``AddStateIndependentNormalScale``
+    as used by sota ppo/utils_mujoco.py:316): the network predicts only
+    ``loc``; ``scale`` is one learned parameter vector, mapped positive.
+    ``__call__(loc) -> (loc, scale)`` — pair with
+    ``TDModule(..., out_keys=["loc", "scale"])``.
+    """
+
+    scale_shape: int
+    scale_mapping: str = "biased_softplus_1.0"
+    scale_lb: float = 1e-4
+
+    @nn.compact
+    def __call__(self, loc: jax.Array):
+        raw = self.param("state_independent_scale", nn.initializers.zeros,
+                         (self.scale_shape,))
+        if self.scale_mapping.startswith("biased_softplus_"):
+            bias = float(self.scale_mapping.split("_")[-1])
+            inv = jnp.log(jnp.expm1(bias))
+            scale = jax.nn.softplus(raw + inv)
+        elif self.scale_mapping == "exp":
+            scale = jnp.exp(raw)
+        else:
+            raise ValueError(f"unknown scale_mapping {self.scale_mapping}")
+        scale = jnp.maximum(scale, self.scale_lb)
+        return loc, jnp.broadcast_to(scale, loc.shape)
 
 
 class DuelingMlpDQNet(nn.Module):

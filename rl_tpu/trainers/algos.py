@@ -32,12 +32,21 @@ def _flatten_time(batch: TDict) -> TDict:
     return batch.apply(lambda x: x.reshape((-1,) + x.shape[2:]))
 
 
-def _split_optimizer(params: TDict, lr_map: dict[str, float], clip: float = 0.5):
+def _split_optimizer(params: TDict, lr_map: dict[str, float], clip: float = 0.5,
+                     anneal_steps: int | None = None):
     """Per-subtree adam with per-subtree grad clipping (a shared global clip
-    lets large-scale critic grads starve the actor)."""
+    lets large-scale critic grads starve the actor).  ``anneal_steps``
+    enables the reference's linear lr decay to 0 over that many optimizer
+    steps (config_mujoco.yaml ``anneal_lr: True``)."""
     labels = TDict({k: jax.tree.map(lambda _: k, params[k]) for k in params})
+
+    def lr_for(lr):
+        if anneal_steps:
+            return optax.linear_schedule(lr, 0.0, anneal_steps)
+        return lr
+
     txs = {
-        k: optax.chain(optax.clip_by_global_norm(clip), optax.adam(lr))
+        k: optax.chain(optax.clip_by_global_norm(clip), optax.adam(lr_for(lr)))
         for k, lr in lr_map.items()
     }
     return optax.multi_transform(txs, labels)
@@ -87,6 +96,7 @@ class PPOTrainer(_TrainerBase):
         lmbda: float = 0.95,
         clip_epsilon: float = 0.2,
         entropy_coeff: float = 0.01,
+        anneal_lr: bool = False,
         seed: int = 0,
         **base_kwargs,
     ):
@@ -97,6 +107,7 @@ class PPOTrainer(_TrainerBase):
         self.total_frames = int(total_frames)
         self.num_epochs = num_epochs
         self.minibatches = minibatches
+        self.anneal_lr = anneal_lr
         self.seed = seed
         self.collector = Collector(
             env, lambda p, td, k: actor(p["actor"], td, key=k),
@@ -111,7 +122,11 @@ class PPOTrainer(_TrainerBase):
         _, td0 = env.reset(k1)
         example = jax.tree.map(lambda x: jnp.asarray(x)[:1] if env.batch_size else jnp.asarray(x)[None], td0)
         self.params = self.loss_module.init(k2, example)
-        self.tx = _split_optimizer(self.params, {"actor": lr_actor, "critic": lr_critic})
+        n_updates = ((total_frames // frames_per_batch)
+                     * num_epochs * minibatches) if anneal_lr else None
+        self.tx = _split_optimizer(
+            self.params, {"actor": lr_actor, "critic": lr_critic},
+            anneal_steps=n_updates)
         self.opt_state = self.tx.init(self.params)
         self._key = key
         # donate carried state: pass-through jit outputs otherwise copy

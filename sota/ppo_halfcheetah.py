@@ -13,8 +13,9 @@ from rl_tpu.collectors.evaluator import Evaluator
 from rl_tpu.envs import TransformedEnv
 from rl_tpu.envs.libs import GymEnv
 from rl_tpu.envs.transforms import VecNorm
-from rl_tpu.modules import (MLP, NormalParamExtractor, ProbabilisticActor,
-                            Seq, TanhNormal, TDModule, ValueOperator)
+from rl_tpu.modules import (MLP, AddStateIndependentNormalScale,
+                            NormalParamExtractor, ProbabilisticActor, Seq,
+                            TanhNormal, TDModule, ValueOperator)
 from rl_tpu.record import CSVLogger, generate_exp_name
 from rl_tpu.trainers import PPOTrainer
 
@@ -22,7 +23,7 @@ DEFAULTS = dict(
     env_name="HalfCheetah-v4", num_envs=8, frames_per_batch=2048,
     total_frames=1_000_000, num_epochs=10, minibatches=32, lr_actor=3e-4,
     lr_critic=3e-4, gamma=0.99, lmbda=0.95, clip_epsilon=0.2,
-    entropy_coeff=0.0, seed=0, logger="csv",
+    entropy_coeff=0.0, anneal_lr=True, seed=0, logger="csv",
 )
 
 
@@ -34,10 +35,19 @@ def main(cfg=None):
                          VecNorm(batch_ndim=1))
     act_spec = env.action_spec
     act_dim = act_spec.shape[-1]
+    # the reference recipe (utils_mujoco.py:299-348): tanh [64,64] nets,
+    # orthogonal init (gain 1.0 policy / 0.01 value, zero bias), the net
+    # predicts only loc, and scale is ONE state-independent learned vector
+    import flax.linen as nn
+
     net = Seq(
-        TDModule(MLP(out_features=2 * act_dim, num_cells=(64, 64),
-                     activation="tanh"), ["observation"], ["pre"]),
-        TDModule(NormalParamExtractor(), ["pre"], ["loc", "scale"]),
+        TDModule(MLP(out_features=act_dim, num_cells=(64, 64),
+                     activation="tanh",
+                     kernel_init=nn.initializers.orthogonal(1.0)),
+                 ["observation"], ["pre"]),
+        TDModule(AddStateIndependentNormalScale(scale_shape=act_dim,
+                                                scale_lb=1e-8),
+                 ["pre"], ["loc", "scale"]),
     )
     actor = ProbabilisticActor(
         net, TanhNormal,
@@ -45,7 +55,8 @@ def main(cfg=None):
                      "high": float(act_spec.high.max())},
     )
     critic = ValueOperator(MLP(out_features=1, num_cells=(64, 64),
-                               activation="tanh"))
+                               activation="tanh",
+                               kernel_init=nn.initializers.orthogonal(0.01)))
     logger = (CSVLogger(generate_exp_name("ppo", cfg["env_name"]))
               if cfg["logger"] == "csv" else None)
     evaluator = Evaluator(env, lambda p, td, k: actor(p["actor"], td, key=k),
@@ -57,7 +68,8 @@ def main(cfg=None):
         minibatches=cfg["minibatches"], lr_actor=cfg["lr_actor"],
         lr_critic=cfg["lr_critic"], gamma=cfg["gamma"], lmbda=cfg["lmbda"],
         clip_epsilon=cfg["clip_epsilon"],
-        entropy_coeff=cfg["entropy_coeff"], seed=cfg["seed"], logger=logger,
+        entropy_coeff=cfg["entropy_coeff"], anneal_lr=cfg["anneal_lr"],
+        seed=cfg["seed"], logger=logger,
         evaluator=evaluator, eval_interval=10,
     )
     params = trainer.train()
