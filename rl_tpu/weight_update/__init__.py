@@ -5,6 +5,7 @@ from .schemes import (
     NoWeightSyncScheme,
     MultiProcessWeightSyncScheme, SharedMemWeightSyncScheme,
 )
+from .llm import LLMEngineWeightSync
 
 __all__ = [
     "WeightStrategy",
@@ -13,4 +14,5 @@ __all__ = [
     "NoWeightSyncScheme",
     "MultiProcessWeightSyncScheme",
     "SharedMemWeightSyncScheme",
+    "LLMEngineWeightSync",
 ]
