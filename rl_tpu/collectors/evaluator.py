@@ -26,15 +26,21 @@ class Evaluator:
         policy: Callable,
         *,
         max_steps: int = 1000,
+        num_episodes: int | None = None,
         num_episodes_hint: int = 1,
         exploration_type: str = ExplorationType.MODE,
         logger=None,
         log_prefix: str = "eval",
         video_key: str | None = None,
     ):
+        """``num_episodes``: keep rolling out (in ``max_steps`` jitted
+        chunks) until at least that many episodes completed — the
+        reference's ``num_test_episodes`` semantics (_evaluator.py:99);
+        None = one fixed-length rollout."""
         self.env = env
         self.policy = policy
         self.max_steps = int(max_steps)
+        self.num_episodes = num_episodes
         self.exploration_type = exploration_type
         self.logger = logger
         self.log_prefix = log_prefix
@@ -48,24 +54,15 @@ class Evaluator:
 
             return self.env.rollout(self.max_steps, pol, key=key)
 
-    def evaluate(self, params, key, step: int | None = None) -> dict:
-        if self._jit_rollout is None:
-            self._jit_rollout = jax.jit(lambda p, k: self._rollout(p, k)[1])
-        ys = self._jit_rollout(params, key)
-        reward = np.asarray(ys["next", "reward"])
-        done = np.asarray(ys["next", "done"])
-        # per-episode returns via done-segmented cumulative sums —
-        # vectorized: the old python double loop was O(T*B) interpreter
-        # work per eval and dwarfed the jitted rollout at 1000x big-batch
-        r = reward.squeeze(-1)
-        d = done.squeeze(-1)
-        flat_r = r.reshape(r.shape[0], -1)  # [T, B]
-        flat_d = d.reshape(d.shape[0], -1)
+    @staticmethod
+    def _episode_stats(flat_r, flat_d):
+        """Per-episode returns/lengths via done-segmented cumulative sums —
+        vectorized: the old python double loop was O(T*B) interpreter work
+        per eval and dwarfed the jitted rollout at 1000x big-batch."""
         T, B = flat_r.shape
         csum = np.concatenate([np.zeros((1, B)), flat_r.cumsum(0)])  # [T+1, B]
-        t_idx, b_idx = np.nonzero(flat_d)  # done positions, time-major? no:
-        # np.nonzero on [T, B] returns row-major (t ascending per b only
-        # after sorting); sort by (b, t) so diffs segment per env
+        t_idx, b_idx = np.nonzero(flat_d)
+        # sort by (b, t) so diffs segment per env
         order = np.lexsort((t_idx, b_idx))
         t_idx, b_idx = t_idx[order], b_idx[order]
         ends = csum[t_idx + 1, b_idx]
@@ -73,8 +70,30 @@ class Evaluator:
         first[1:] = b_idx[1:] != b_idx[:-1]
         prev_ends = np.where(first, 0.0, np.concatenate([[0.0], ends[:-1]]))
         prev_t = np.where(first, -1, np.concatenate([[-1], t_idx[:-1]]))
-        ep_returns = (ends - prev_ends).tolist()
-        ep_lengths = (t_idx - prev_t).tolist()
+        return (ends - prev_ends).tolist(), (t_idx - prev_t).tolist()
+
+    def evaluate(self, params, key, step: int | None = None) -> dict:
+        if self._jit_rollout is None:
+            self._jit_rollout = jax.jit(lambda p, k: self._rollout(p, k)[1])
+        ep_returns: list = []
+        ep_lengths: list = []
+        rs = []
+        ys = None
+        # chunked rollouts until num_episodes completed (reference
+        # num_test_episodes semantics); one chunk when num_episodes is None
+        for chunk in range(20):
+            key, k = jax.random.split(key)
+            ys = self._jit_rollout(params, k)
+            r = np.asarray(ys["next", "reward"]).squeeze(-1)
+            d = np.asarray(ys["next", "done"]).squeeze(-1)
+            rs.append(r)
+            rets, lens = self._episode_stats(r.reshape(r.shape[0], -1),
+                                             d.reshape(d.shape[0], -1))
+            ep_returns.extend(rets)
+            ep_lengths.extend(lens)
+            if self.num_episodes is None or len(ep_returns) >= self.num_episodes:
+                break
+        r = np.concatenate([x.reshape(x.shape[0], -1) for x in rs], axis=0)
         stats = {
             "reward_mean": float(r.mean()),
             "episode_return_mean": float(np.mean(ep_returns)) if ep_returns else float(r.sum(0).mean()),
