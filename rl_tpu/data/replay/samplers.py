@@ -497,7 +497,9 @@ class PrioritizedSliceSampler(SliceSampler):
     def sample(self, sstate: TDict, size, batch_size: int, key, dones=None):
         n, L = self._nL(batch_size)
         pstate, ends, info = self._prio.sample(sstate["prio"], size, n, key)
-        ends = jnp.clip(ends, L - 1, jnp.maximum(size - 1, L - 1))
+        # no [L-1, size) clipping: the episode table masks short/invalid
+        # windows exactly, and clipping would bias end-density at L-1
+        # after a ring wrap (every slot is then a legitimate end)
         sstate = sstate.set("prio", pstate)
         idx, valid, truncated = self._window(sstate, ends, L, dones)
         weights = jnp.repeat(info["_weight"], L)
