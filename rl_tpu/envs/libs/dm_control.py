@@ -53,6 +53,8 @@ class _DMAdapter:
 class DMControlEnv(Env):
     """Batched dm_control env via the host pool."""
 
+    host_autoreset = True
+
     def __init__(self, domain: str, task: str, num_envs: int = 1,
                  num_threads: int | None = None):
         self.domain, self.task = domain, task

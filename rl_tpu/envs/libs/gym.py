@@ -237,6 +237,8 @@ class GoalGymEnv(Env):
     HERReplayBuffer` for Hindsight Experience Replay on Fetch/Hand tasks.
     """
 
+    host_autoreset = True
+
     KEYS = _GoalHostPool.KEYS
 
     def __init__(self, env_name: str, num_envs: int = 1,
