@@ -152,8 +152,7 @@ def main(cfg=None):
         if cfg["mode"] == "expert":
             kept_flags = np.zeros(len(steps), np.float32)
             released = selector([dict(s) for s in steps])
-            kept_ids = {id(r) for r in released}
-            # selector returns copies; mark by (prompt, reward, response)
+            # selector returns copies; mark winners by (prompt, response)
             kept_keys = {(r["prompt"], r["response"]) for r in released}
             for i, s in enumerate(steps):
                 if (s["prompt"], s["response"]) in kept_keys:
