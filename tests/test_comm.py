@@ -111,13 +111,19 @@ class TestInferenceServer:
         def policy(params, obs, k):
             return net.apply({"params": params}, jnp.asarray(obs))
 
-        server = InferenceServer(policy, params, max_batch_size=8, timeout_ms=5)
+        server = InferenceServer(policy, params, max_batch_size=8,
+                                 timeout_ms=50)
         client = PolicyClient(server)
         try:
             results = []
+            # barrier: all requests arrive together, so coalescing is
+            # deterministic even on a heavily loaded CI box (without it,
+            # trickling requests can each land in their own batch)
+            gate = threading.Barrier(16)
 
             def actor(i):
                 obs = np.full((3,), float(i), np.float32)
+                gate.wait(timeout=30)
                 results.append((i, client(obs)))
 
             threads = [threading.Thread(target=actor, args=(i,)) for i in range(16)]
