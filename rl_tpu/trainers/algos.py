@@ -32,6 +32,32 @@ def _flatten_time(batch: TDict) -> TDict:
     return batch.apply(lambda x: x.reshape((-1,) + x.shape[2:]))
 
 
+def _unalias(*trees):
+    """Copy any leaf sharing a device buffer with an earlier leaf.
+
+    Donated jit arguments must not alias (XLA: 'attempt to donate the same
+    buffer twice').  Aliases legitimately arise from eager init paths —
+    e.g. an env reset storing one zeros array under terminated/truncated/
+    done, or the same obs array in env_state and root.  Called once on the
+    initial carried state before the donated training loop; jit outputs
+    thereafter are alias-free."""
+    seen: set[int] = set()
+
+    def f(x):
+        if isinstance(x, jax.Array):
+            try:
+                ptr = x.unsafe_buffer_pointer()
+            except Exception:
+                ptr = id(x)
+            if ptr in seen:
+                return jnp.array(x, copy=True)
+            seen.add(ptr)
+        return x
+
+    out = tuple(jax.tree.map(f, t) for t in trees)
+    return out[0] if len(out) == 1 else out
+
+
 def _split_optimizer(params: TDict, lr_map: dict[str, float], clip: float = 0.5,
                      anneal_steps: int | None = None):
     """Per-subtree adam with per-subtree grad clipping (a shared global clip
@@ -176,7 +202,8 @@ class PPOTrainer(_TrainerBase):
 
     def train(self):
         self._key, k = jax.random.split(self._key)
-        cstate = self.collector.init(k)
+        self.params, self.opt_state, cstate = _unalias(
+            self.params, self.opt_state, self.collector.init(k))
         frames = 0
         it = 0
         while frames < self.total_frames:
@@ -266,6 +293,8 @@ class _OffPolicyTrainer(_TrainerBase):
         aux = self._init_aux()
         cstate, batch0 = self.collector.collect(
             self._policy_state(self.params, aux), cstate)
+        self.params, self.opt_state, cstate, aux = _unalias(
+            self.params, self.opt_state, cstate, aux)
         rb_state = self.rb.init_from_batch(_flatten_time(batch0))
         seed_batch = getattr(self, "_seed_batch", None)
         if seed_batch is not None:  # offline-to-online warm start

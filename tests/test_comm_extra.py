@@ -53,8 +53,10 @@ class TestMailbox:
 
         t = threading.Thread(target=serve, daemon=True)
         t.start()
-        assert f2.result(timeout=10.0) == 102
-        assert f1.result(timeout=10.0) == 101
+        # generous timeouts: a 3-way-oversubscribed CI box can stall the
+        # server thread past 10s
+        assert f2.result(timeout=60.0) == 102
+        assert f1.result(timeout=60.0) == 101
 
     def test_handler_error_propagates(self):
         mb = Mailbox()
