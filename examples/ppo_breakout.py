@@ -30,6 +30,7 @@ DEFAULTS = dict(
     lr_actor=3e-4,
     lr_critic=1e-3,
     gamma=0.99,
+    anneal_lr=False,
     seed=0,
     logger="csv",
 )
@@ -76,7 +77,8 @@ def main(cfg=None):
         frames_per_batch=cfg["frames_per_batch"], total_frames=cfg["total_frames"],
         num_epochs=cfg["num_epochs"], minibatches=cfg["minibatches"],
         lr_actor=cfg["lr_actor"], lr_critic=cfg["lr_critic"], gamma=cfg["gamma"],
-        seed=cfg["seed"], logger=logger, evaluator=evaluator, eval_interval=10,
+        anneal_lr=cfg["anneal_lr"], seed=cfg["seed"], logger=logger,
+        evaluator=evaluator, eval_interval=10,
     )
     params = trainer.train()
     stats = evaluator.evaluate(params, jax.random.PRNGKey(cfg["seed"] + 1))
