@@ -23,19 +23,23 @@ from rl_tpu.collectors.evaluator import Evaluator
 from rl_tpu.record import CSVLogger, generate_exp_name
 from rl_tpu.trainers import SACTrainer
 
+# mirrors /root/reference/sota-implementations/sac/config.yaml: 1M frames,
+# utd_ratio 1.0 (one batch-256 gradient step per env frame), lr 3e-4,
+# polyak 0.995, alpha_init 1.0, 25k random warmup, eval every 25k frames
 DEFAULTS = dict(
     env_name="HalfCheetah-v4",
     num_envs=8,
-    frames_per_batch=64,
+    frames_per_batch=256,
     total_frames=1_000_000,
     buffer_capacity=1_000_000,
     batch_size=256,
-    utd=8,
+    utd=256,
     lr=3e-4,
     gamma=0.99,
     tau=0.005,
     alpha_init=1.0,
-    init_random_frames=10_000,
+    init_random_frames=25_000,
+    eval_interval=98,
     seed=0,
     logger="csv",
 )
@@ -73,7 +77,8 @@ def main(cfg=None):
         buffer_capacity=cfg["buffer_capacity"], batch_size=cfg["batch_size"],
         utd=cfg["utd"], lr=cfg["lr"], gamma=cfg["gamma"], tau=cfg["tau"],
         alpha_init=cfg["alpha_init"], init_random_frames=cfg["init_random_frames"],
-        seed=cfg["seed"], logger=logger, evaluator=evaluator, eval_interval=100,
+        seed=cfg["seed"], logger=logger, evaluator=evaluator,
+        eval_interval=cfg["eval_interval"],
     )
     params = trainer.train()
     stats = evaluator.evaluate(params, jax.random.PRNGKey(cfg["seed"] + 1))
