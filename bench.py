@@ -189,11 +189,14 @@ def make_pixel84_env(num_envs):
         def observation_spec(self):
             from rl_tpu.data import Composite, Unbounded
 
-            return Composite(pixels=Unbounded((84, 84, 4), jnp.float32))
+            return Composite(pixels=Unbounded((84, 84, 4), jnp.bfloat16))
 
         def _upscale(self, px):
             big = jnp.repeat(jnp.repeat(px, 8, axis=0), 8, axis=1)  # 80x80
-            return jnp.pad(big, ((2, 2), (2, 2), (0, 0)))
+            # bf16 pixels: halves the byte volume of every [T,B,84,84,4]
+            # batch the collect scan stacks and GAE/update re-read — the
+            # pipeline is HBM-bandwidth-bound at this shape
+            return jnp.pad(big, ((2, 2), (2, 2), (0, 0))).astype(jnp.bfloat16)
 
         def _reset(self, key):
             state, td = super()._reset(key)
