@@ -266,7 +266,7 @@ def main() -> None:
     note(f"[bench] headline MinAtar: {headline:,.0f} env-steps/s")
 
     # -- representative: 84x84x4, Nature-DQN conv, bf16 compute
-    n84, s84 = (16, 4) if smoke else (256, 32)
+    n84, s84 = (16, 4) if smoke else (1024, 16)
     env84 = make_pixel84_env(n84)
     built84 = build_ppo(env84, (84, 84, 4), num_envs=n84, steps=s84,
                         channels=(32, 64, 64), kernels=(8, 4, 3),
@@ -289,7 +289,7 @@ def main() -> None:
         "vs_baseline": round(headline / PER_CHIP_TARGET, 3),
         "pixel84_env_steps_per_s": round(pixel84, 1),
         "pixel84_phases": phases84,
-        "pixel84_config": "84x84x4, Nature conv 32/64/64 bf16, 256 envs",
+        "pixel84_config": "84x84x4, Nature conv 32/64/64 bf16, 1024 envs",
         "host_bridge_env_steps_per_s": bridge,
     }), flush=True)
     # a wedged bridge thread must not hang interpreter shutdown
