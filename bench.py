@@ -178,6 +178,107 @@ def bench_phases(built, *, iters=10):
             "update_ms": round(t_update * 1e3, 2)}
 
 
+def build_ppo_shared(env, obs_shape, *, num_envs, steps, n_actions,
+                     dtype=jnp.bfloat16):
+    """Shared-trunk PPO (reference Atari architecture: one CNN feeds both
+    heads, modules.ConvActorCritic).  Same objective as build_ppo — clipped
+    surrogate + value loss + entropy — with half the conv FLOPs in the
+    update."""
+    from rl_tpu.modules import ConvActorCritic
+    from rl_tpu.objectives.value.functional import (
+        generalized_advantage_estimate)
+
+    net = ConvActorCritic(n_actions=n_actions, dtype=dtype)
+    key = jax.random.PRNGKey(0)
+    params = net.init(key, jnp.zeros((1,) + obs_shape, dtype))["params"]
+    tx = optax.adam(3e-4)
+    opt_state = tx.init(params)
+    M = 4
+
+    def policy_step(params, td, k):
+        logits, value = net.apply({"params": params}, td["pixels"])
+        a = jax.random.categorical(k, logits, -1)
+        lp = jax.nn.log_softmax(logits, -1)
+        lp_a = jnp.take_along_axis(lp, a[:, None], 1)[:, 0]
+        return (td.set("action", a).set("sample_log_prob", lp_a)
+                .set("state_value", value))
+
+    def train_step(params, opt_state, env_state, root, k):
+        def body(carry, kk):
+            env_state, td = carry
+            k1, k2 = jax.random.split(kk)
+            td = policy_step(params, td, k1)
+            env_state, full, nxt = env.step_and_maybe_reset(env_state, td, k2)
+            return (env_state, nxt), full
+
+        ks = jax.random.split(k, steps + 2)
+        (env_state, root), batch = jax.lax.scan(
+            body, (env_state, root), ks[:steps])
+        _, next_v = net.apply(
+            {"params": params},
+            batch["next", "pixels"].reshape((-1,) + obs_shape))
+        next_v = next_v.reshape(steps, num_envs, 1)
+        adv, vt = generalized_advantage_estimate(
+            0.99, 0.95, batch["state_value"], next_v,
+            batch["next", "reward"], batch["next", "done"],
+            batch["next", "terminated"])
+        adv = (adv - adv.mean()) / (adv.std() + 1e-8)
+        flat = dict(px=batch["pixels"].reshape((-1,) + obs_shape),
+                    a=batch["action"].reshape(-1),
+                    oldlp=batch["sample_log_prob"].reshape(-1),
+                    adv=adv.reshape(-1), vt=vt.reshape(-1))
+        n = flat["adv"].shape[0]
+        shift = jax.random.randint(ks[steps], (), 0, n)
+        flat = {kk: jnp.roll(v, shift, 0).reshape((n // M, M) + v.shape[1:])
+                for kk, v in flat.items()}
+
+        def mb(carry, i):
+            params, opt_state = carry
+
+            def loss_fn(p):
+                logits, value = net.apply({"params": p}, flat["px"][:, i])
+                lp = jax.nn.log_softmax(logits, -1)
+                lpa = jnp.take_along_axis(lp, flat["a"][:, i][:, None], 1)[:, 0]
+                ratio = jnp.exp(lpa - flat["oldlp"][:, i])
+                adv_i = flat["adv"][:, i]
+                l_pi = -jnp.minimum(ratio * adv_i,
+                                    jnp.clip(ratio, 0.8, 1.2) * adv_i).mean()
+                l_v = ((value[:, 0] - flat["vt"][:, i]) ** 2).mean()
+                ent = -(jnp.exp(lp) * lp).sum(-1).mean()
+                return l_pi + 0.5 * l_v - 0.01 * ent
+
+            loss, g = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(g, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
+        (params, opt_state), _ = jax.lax.scan(
+            mb, (params, opt_state), jnp.arange(M))
+        return params, opt_state, env_state, root, batch["next", "reward"].mean()
+
+    return dict(env=env, params=params, opt_state=opt_state,
+                train_step=train_step)
+
+
+def bench_fused_shared(built, env, *, num_envs, steps, iters=10, windows=2):
+    key = jax.random.PRNGKey(0)
+    env_state, root = env.reset(key)
+    params, opt_state = built["params"], built["opt_state"]
+    step = jax.jit(built["train_step"])
+    params, opt_state, env_state, root, r = step(params, opt_state,
+                                                 env_state, root, key)
+    _sync(r)
+    best_dt = float("inf")
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            key, k = jax.random.split(key)
+            params, opt_state, env_state, root, r = step(
+                params, opt_state, env_state, root, k)
+        _sync(r)
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    return iters * num_envs * steps / best_dt
+
+
 def make_pixel84_env(num_envs):
     """Breakout upscaled to 84x84x4 — the Atari-class pixel shape (the
     BASELINE Pong config; ALE itself is not in this image)."""
@@ -278,6 +379,16 @@ def main() -> None:
     phases84 = bench_phases(built84, iters=2 if smoke else 10)
     note(f"[bench] pixel84 phases: {phases84}")
 
+    # shared conv trunk (the reference Atari architecture) — half the conv
+    # FLOPs in the update phase
+    env84s = make_pixel84_env(n84)
+    built84s = build_ppo_shared(env84s, (84, 84, 4), num_envs=n84,
+                                steps=s84, n_actions=3)
+    pixel84_shared = bench_fused_shared(
+        built84s, env84s, num_envs=n84, steps=s84,
+        iters=2 if smoke else 10, windows=2)
+    note(f"[bench] pixel84 shared-trunk: {pixel84_shared:,.0f} env-steps/s")
+
     bridge = bench_host_bridge(steps=20 if smoke else 300,
                                budget_s=60.0 if smoke else 240.0)
     note(f"[bench] host bridge: {bridge}")
@@ -288,6 +399,7 @@ def main() -> None:
         "unit": "env-steps/s (Breakout pixels: collect+GAE+4 PPO updates, 1 chip)",
         "vs_baseline": round(headline / PER_CHIP_TARGET, 3),
         "pixel84_env_steps_per_s": round(pixel84, 1),
+        "pixel84_shared_trunk_env_steps_per_s": round(pixel84_shared, 1),
         "pixel84_phases": phases84,
         "pixel84_config": "84x84x4, Nature conv 32/64/64 bf16, 1024 envs",
         "host_bridge_env_steps_per_s": bridge,
