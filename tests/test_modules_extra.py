@@ -190,3 +190,31 @@ class TestVmapSafe:
         out = safe(TDict(), td)
         assert jnp.all(out["action"] <= 1.0)
         assert jnp.all(out["action"] >= -1.0)
+
+
+class TestConvActorCritic:
+    def test_shared_trunk_shapes_and_grads(self, key):
+        import jax.numpy as jnp
+        import jax
+
+        from rl_tpu.modules import ConvActorCritic
+
+        m = ConvActorCritic(n_actions=5, dtype=jnp.bfloat16)
+        p = m.init(key, jnp.zeros((2, 84, 84, 4)))
+        logits, value = m.apply(p, jnp.zeros((3, 84, 84, 4)))
+        assert logits.shape == (3, 5) and logits.dtype == jnp.float32
+        assert value.shape == (3, 1)
+
+        # one trunk: exactly one ConvNet parameter subtree
+        top = list(p["params"].keys())
+        assert sum(1 for k in top if k.startswith("ConvNet")) == 1
+
+        def loss(pp):
+            l, v = m.apply(pp, jnp.ones((2, 84, 84, 4)))
+            return l.sum() + v.sum()
+
+        g = jax.grad(lambda pp: loss(pp))(p)
+        # both heads' gradients flow into the shared trunk
+        gsum = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(
+            g["params"]["ConvNet_0"]))
+        assert gsum > 0
