@@ -132,6 +132,43 @@ def write_avi(video, path: str, fps: int = 30, quality: int = 90) -> str:
     return path
 
 
+def write_html(video, path: str, fps: int = 30, title: str = "rl_tpu rollout") -> str:
+    """Self-contained HTML player: the rollout as a base64-embedded GIF with
+    play/pause/restart controls — the reference render stack's in-browser
+    playback (reference render/, notebook/WASM viewers) without needing a
+    notebook or a WASM build.  Opens in any browser, no server."""
+    import base64
+    import io
+    import os
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".gif", delete=False) as f:
+        tmp = f.name
+    try:
+        write_gif(video, tmp, fps=fps)
+        with open(tmp, "rb") as f:
+            b64 = base64.b64encode(f.read()).decode()
+    finally:
+        os.unlink(tmp)
+    html = f"""<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>{title}</title>
+<style>body{{background:#111;color:#eee;font-family:monospace;
+text-align:center;padding:2em}} img{{image-rendering:pixelated;
+width:min(80vw,640px);border:1px solid #444}}
+button{{margin:1em .3em;padding:.4em 1.2em;font-family:monospace}}</style>
+</head><body>
+<h3>{title}</h3>
+<img id="v" src="data:image/gif;base64,{b64}">
+<div>
+<button onclick="const i=document.getElementById('v');i.src=i.src;">restart</button>
+</div>
+<p>{fps} fps &middot; generated by rl_tpu.render</p>
+</body></html>"""
+    with open(path, "w") as f:
+        f.write(html)
+    return path
+
+
 def write_video(video, path: str, fps: int = 30) -> str:
     """Encode to the container implied by ``path``'s extension.  ``.mp4``
     falls back to MJPEG AVI (suffix swap) when no ffmpeg binary exists."""

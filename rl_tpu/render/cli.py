@@ -42,7 +42,16 @@ def render_checkpoint(checkpoint: str | None, env, policy=None, *,
     if pixels_key in ys:
         arrays["pixels"] = np.asarray(ys[pixels_key])
     if out:
-        if out.endswith((".gif", ".avi", ".mp4")):
+        if out.endswith(".html"):
+            if "pixels" not in arrays:
+                raise ValueError(f"env wrote no {pixels_key} to render")
+            from rl_tpu.record.video import write_html
+
+            px = arrays["pixels"]
+            if px.ndim == 5:
+                px = px[:, 0]
+            stats["out"] = write_html(px, out)
+        elif out.endswith((".gif", ".avi", ".mp4")):
             # video container output (reference rlrender mp4/gif path)
             if "pixels" not in arrays:
                 raise ValueError(f"env wrote no {pixels_key} to render")

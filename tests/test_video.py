@@ -130,3 +130,26 @@ class TestLoggerMonitor:
         rb = ReplayBuffer(capacity=32)
         rb.extend(TDict(x=jnp.ones((4, 2))))
         assert rb.stats() == {"size": 4, "capacity": 32}
+
+
+class TestHtmlRender:
+    def test_write_html_self_contained(self, tmp_path):
+        import numpy as np
+
+        from rl_tpu.record import write_html
+
+        frames = (np.random.rand(8, 16, 16, 3) * 255).astype(np.uint8)
+        out = str(tmp_path / "roll.html")
+        write_html(frames, out, fps=10)
+        html = open(out).read()
+        assert "data:image/gif;base64," in html
+        assert "<html" in html and len(html) > 1000
+
+    def test_render_cli_html(self, tmp_path):
+        from rl_tpu.render.cli import main
+
+        out = str(tmp_path / "b.html")
+        stats = main(["--env", "rl_tpu.envs.minatar.BreakoutEnv",
+                      "--steps", "20", "--out", out])
+        assert stats["out"] == out
+        assert "base64" in open(out).read()
