@@ -21,11 +21,14 @@ DEFAULTS = dict(
     total_frames=100_000,
     buffer_capacity=200_000,
     batch_size=256,
-    utd=4,
+    utd=16,
     lr_actor=1e-4,
     lr_critic=1e-3,
     gamma=0.99,
     tau=0.005,
+    sigma_init=0.5,
+    sigma_end=0.2,
+    sigma_anneal_iters=150,
     init_random_frames=2_000,
     seed=0,
     logger="csv",
@@ -61,7 +64,8 @@ def main(cfg=None):
         total_frames=cfg["total_frames"],
         buffer_capacity=cfg["buffer_capacity"], batch_size=cfg["batch_size"],
         utd=cfg["utd"], lr_actor=cfg["lr_actor"], lr_critic=cfg["lr_critic"],
-        gamma=cfg["gamma"], tau=cfg["tau"],
+        gamma=cfg["gamma"], tau=cfg["tau"], sigma_init=cfg["sigma_init"],
+        sigma_end=cfg["sigma_end"], sigma_anneal_iters=cfg["sigma_anneal_iters"],
         init_random_frames=cfg["init_random_frames"], seed=cfg["seed"],
         logger=logger, evaluator=evaluator, eval_interval=50,
     )
