@@ -23,7 +23,7 @@ from _common import gaussian_actor
 
 DEFAULTS = dict(
     num_envs=8, frames_per_batch=256, total_frames=100_000,
-    buffer_capacity=200_000, batch_size=256, utd=4, lr=3e-4,
+    buffer_capacity=200_000, batch_size=256, utd=16, lr=3e-4,
     gamma=0.99, init_random_frames=2_000, seed=0, logger="csv",
 )
 
