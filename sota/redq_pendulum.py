@@ -20,7 +20,7 @@ from _common import gaussian_actor, q_module
 
 DEFAULTS = dict(
     num_envs=8, frames_per_batch=256, total_frames=100_000,
-    buffer_capacity=200_000, batch_size=256, utd=8,
+    buffer_capacity=200_000, batch_size=256, utd=16,
     num_qvalue_nets=10, sub_sample_len=2, lr=3e-4, gamma=0.99, tau=0.005,
     init_random_frames=2_000, seed=0, logger="csv",
 )
