@@ -80,14 +80,16 @@ def main(cfg=None):
     rb = ReplayBuffer(capacity=cfg["buffer_capacity"],
                       batch_size=cfg["batch_size"])
 
-    frames_seen = {"n": 0}
-
     def policy(p, td, k):
+        # PipelinedHostCollector jits the policy ONCE — a python branch on a
+        # frame counter would be baked into the trace (ADVICE r3 #1).  The
+        # frame count rides in the params pytree as a traced leaf instead,
+        # selected with jnp.where.
         td = actor(p["actor"], td, key=k)
-        if frames_seen["n"] < cfg["init_random_frames"]:
-            td = td.set("action", jax.random.uniform(
-                k, td["action"].shape, minval=lo, maxval=hi))
-        return td
+        rand = jax.random.uniform(jax.random.fold_in(k, 1),
+                                  td["action"].shape, minval=lo, maxval=hi)
+        use_rand = p["frames"] < cfg["init_random_frames"]
+        return td.set("action", jnp.where(use_rand, rand, td["action"]))
 
     coll = PipelinedHostCollector(
         lambda: gymnasium.make(cfg["env_name"]), cfg["num_envs"], policy,
@@ -124,13 +126,12 @@ def main(cfg=None):
     t0 = time.perf_counter()
     while frames < cfg["total_frames"]:
         key, k_c, k_u = jax.random.split(key, 3)
-        batch = coll.collect(params, k_c)
+        batch = coll.collect(params.set("frames", jnp.asarray(frames)), k_c)
         flat = batch.apply(lambda x: x.reshape((-1,) + x.shape[2:]))
         if rb_state is None:
             rb_state = rb.init_from_batch(flat)
         rb_state, _ = extend(rb_state, flat)
         frames += cfg["frames_per_batch"]
-        frames_seen["n"] = frames
         params, opt_state, rb_state = update(params, opt_state, rb_state, k_u)
         if logger and it % 20 == 0:
             r = float(jnp.asarray(batch["next", "reward"]).mean())

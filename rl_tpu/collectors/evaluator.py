@@ -80,8 +80,14 @@ class Evaluator:
         rs = []
         ys = None
         # chunked rollouts until num_episodes completed (reference
-        # num_test_episodes semantics); one chunk when num_episodes is None
-        for chunk in range(20):
+        # num_test_episodes semantics); one chunk when num_episodes is None.
+        # Chunks are independent rollouts (each starts from reset), so an
+        # episode longer than max_steps can NEVER complete — detect that as
+        # a zero-progress chunk and warn instead of looping (ADVICE r3 #3).
+        max_chunks = (1 if self.num_episodes is None
+                      else max(20, int(self.num_episodes)))
+        chunk = 0
+        while True:
             key, k = jax.random.split(key)
             ys = self._jit_rollout(params, k)
             r = np.asarray(ys["next", "reward"]).squeeze(-1)
@@ -91,7 +97,20 @@ class Evaluator:
                                              d.reshape(d.shape[0], -1))
             ep_returns.extend(rets)
             ep_lengths.extend(lens)
+            chunk += 1
             if self.num_episodes is None or len(ep_returns) >= self.num_episodes:
+                break
+            if not rets or chunk >= max_chunks:
+                import warnings
+
+                why = ("no episode completed within max_steps="
+                       f"{self.max_steps} this chunk (episodes longer than "
+                       "the rollout window never complete)" if not rets
+                       else f"chunk cap {max_chunks} reached")
+                warnings.warn(
+                    f"Evaluator: stopping with {len(ep_returns)}/"
+                    f"{self.num_episodes} episodes — {why}; stats cover the "
+                    "completed episodes only.", stacklevel=2)
                 break
         r = np.concatenate([x.reshape(x.shape[0], -1) for x in rs], axis=0)
         stats = {

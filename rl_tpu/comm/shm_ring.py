@@ -26,7 +26,7 @@ import time
 
 import numpy as np
 
-__all__ = ["ShmRing", "SeqlockBox"]
+__all__ = ["ShmRing", "SeqlockBox", "encode_array", "decode_array"]
 
 _LIB = None
 _LOCK = threading.Lock()
@@ -82,6 +82,22 @@ def _load() -> ctypes.CDLL:
 
 
 _HDR = struct.Struct("<16sB")  # dtype str (padded), ndim; then ndim * u32
+
+
+def encode_array(arr: np.ndarray) -> bytes:
+    """Self-describing array frame: dtype/ndim header + dims + raw bytes."""
+    arr = np.ascontiguousarray(arr)
+    hdr = _HDR.pack(arr.dtype.str.encode().ljust(16, b"\0"), arr.ndim)
+    dims = struct.pack(f"<{arr.ndim}I", *arr.shape)
+    return hdr + dims + arr.tobytes()
+
+
+def decode_array(raw: bytes) -> np.ndarray:
+    dt_raw, ndim = _HDR.unpack_from(raw)
+    dims = struct.unpack_from(f"<{ndim}I", raw, _HDR.size)
+    off = _HDR.size + 4 * ndim
+    dt = np.dtype(dt_raw.rstrip(b"\0").decode())
+    return np.frombuffer(raw, dtype=dt, offset=off).reshape(dims).copy()
 
 
 class ShmRing:
@@ -161,18 +177,10 @@ class ShmRing:
 
     # -- framed numpy arrays ------------------------------------------------
     def push_array(self, arr: np.ndarray, **kw) -> None:
-        arr = np.ascontiguousarray(arr)
-        hdr = _HDR.pack(arr.dtype.str.encode().ljust(16, b"\0"), arr.ndim)
-        dims = struct.pack(f"<{arr.ndim}I", *arr.shape)
-        self.push_bytes(hdr + dims + arr.tobytes(), **kw)
+        self.push_bytes(encode_array(arr), **kw)
 
     def pop_array(self, **kw) -> np.ndarray:
-        raw = self.pop_bytes(**kw)
-        dt_raw, ndim = _HDR.unpack_from(raw)
-        dims = struct.unpack_from(f"<{ndim}I", raw, _HDR.size)
-        off = _HDR.size + 4 * ndim
-        dt = np.dtype(dt_raw.rstrip(b"\0").decode())
-        return np.frombuffer(raw, dtype=dt, offset=off).reshape(dims).copy()
+        return decode_array(self.pop_bytes(**kw))
 
 
 class SeqlockBox:
@@ -235,6 +243,9 @@ class SeqlockBox:
                              ctypes.byref(ver))
         if n == -2:
             raise ValueError("read buffer smaller than payload")
+        if n == -3:
+            raise TimeoutError(
+                "seqlock box stuck mid-write (writer died during box_write?)")
         if n == 0 and ver.value == 0:
             return None, 0
         return ctypes.string_at(self._buf, n), int(ver.value)

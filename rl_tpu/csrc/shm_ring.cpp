@@ -24,7 +24,9 @@
 //   box_attach(name)                  -> handle
 //   box_write(h, buf, len)            -> 0, or -2 if len > size
 //   box_read(h, buf, cap, *version)   -> payload len (0 if never written),
-//                                        -2 if cap small; *version out
+//                                        -2 if cap small, -3 if the writer
+//                                        died mid-write (seq stuck odd);
+//                                        *version out
 //   box_close(h, unlink)
 #include <atomic>
 #include <cstdint>
@@ -250,10 +252,16 @@ int box_write(void* h, const uint8_t* buf, uint64_t len) {
 }
 
 int64_t box_read(void* h, uint8_t* buf, uint64_t cap, uint64_t* version) {
+  // Bounded: a writer killed mid box_write leaves seq odd forever; after
+  // ~2^26 spins (hundreds of ms — a live writer holds the odd state only
+  // for one memcpy) give up with -3 rather than hang the reader.
   Box* b = static_cast<Box*>(h);
-  for (;;) {
+  for (uint64_t spin = 0;; ++spin) {
     uint64_t s1 = b->hdr->seq.load(std::memory_order_acquire);
-    if (s1 & 1) continue;                      // writer mid-flight
+    if (s1 & 1) {                              // writer mid-flight
+      if (spin > (1ull << 26)) return -3;
+      continue;
+    }
     if (s1 == 0) { if (version) *version = 0; return 0; }
     uint64_t len = b->hdr->len.load(std::memory_order_relaxed);
     if (len > cap) return -2;

@@ -200,6 +200,7 @@ class ActionChunkTransform(Transform):
     action has a chunk axis, it refreshes the buffer; each step consumes one
     slice.
     """
+    row_stateful = True
 
     def __init__(self, chunk_len: int, action_key: str = "action"):
         super().__init__()
@@ -229,6 +230,7 @@ class gSDENoise(Transform):
     """Prime the gSDE exploration-noise matrix at reset (reference
     _env.py:667): writes ``_eps_gSDE`` ~ N(0,1) of shape
     ``[batch, noise_dim, action_dim]`` for state-dependent exploration."""
+    row_stateful = True
 
     def __init__(self, noise_dim: int, action_dim: int, key_name: str = "_eps_gSDE"):
         super().__init__()

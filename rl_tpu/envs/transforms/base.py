@@ -38,6 +38,13 @@ PyTree = Any
 class Transform:
     """Base transform. Stateless by default (``init`` returns empty TDict)."""
 
+    #: True for transforms carrying *per-env-row* state (frame buffers,
+    #: step counters, episode accumulators).  Host-autoreset envs (GymEnv &
+    #: co) apply ``reset()`` to every row each step, which corrupts such
+    #: state — TransformedEnv.step_and_maybe_reset raises when one is
+    #: composed over a host_autoreset env (ADVICE r3 #2).
+    row_stateful = False
+
     def __init__(
         self,
         in_keys: Sequence | None = None,
@@ -114,6 +121,10 @@ class Compose(Transform):
     def __init__(self, *transforms: Transform):
         super().__init__()
         self.transforms = list(transforms)
+
+    @property
+    def row_stateful(self):
+        return any(t.row_stateful for t in self.transforms)
 
     def reset(self, key, tstate, td):
         keys = jax.random.split(key, max(len(self.transforms), 1))
@@ -260,6 +271,20 @@ class TransformedEnv(Env):
             # second stats update — VecNorm.reset keeps carried stats).
             # Row-stateful transforms (CatFrames primers) need the native
             # path; stat/stateless transforms are exact here.
+            bad = [
+                type(t).__name__
+                for t in getattr(self.transform, "transforms", [self.transform])
+                if t.row_stateful
+            ]
+            if bad:
+                raise ValueError(
+                    f"Transforms with per-row state ({', '.join(bad)}) cannot "
+                    "be composed over a host-autoreset env: the host bridge "
+                    "resets rows inside its callback, so the transform's "
+                    "reset() would be applied to every row each step. Use an "
+                    "on-device env, or move the transform host-side (e.g. "
+                    "gymnasium wrappers)."
+                )
             k_step, k_reset = jax.random.split(key)
             td_in = self.transform.inv(state["t"], td)
             env_state, full_td, root = self.env.step_and_maybe_reset(

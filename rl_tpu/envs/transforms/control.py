@@ -74,6 +74,7 @@ class RandomTruncationTransform(Transform):
     envs spread across episode phases immediately; later resets: with prob
     ``prob`` a horizon ~ U(min, max), else the full ``max_horizon``.
     Must sit after :class:`StepCounter` (needs ``step_count``)."""
+    row_stateful = True
 
     def __init__(self, min_horizon: int, max_horizon: int, prob: float = 0.0,
                  step_count_key: str = "step_count"):
@@ -150,6 +151,7 @@ class EndOfLifeTransform(Transform):
     the ``lives`` counter from step info, write ``eol = lives < prev_lives``
     and optionally OR it into ``done`` (life loss treated as episode end for
     the value target while the game keeps running)."""
+    row_stateful = True
 
     def __init__(self, lives_key: str = "lives", eol_key: str = "eol",
                  done_key: str | None = "done"):

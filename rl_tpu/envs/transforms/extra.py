@@ -55,6 +55,7 @@ class TargetReturn(Transform):
     """Decision-Transformer style return conditioning (reference _reward.py:63):
     carry a target return that decreases by collected rewards ("reduce" mode)
     or stays constant."""
+    row_stateful = True
 
     def __init__(self, target_return: float, mode: str = "reduce",
                  out_key: str = "target_return"):
@@ -84,6 +85,7 @@ class TargetReturn(Transform):
 class TimeMaxPool(Transform):
     """Max over the last T observations (reference _misc.py:93) — the classic
     Atari flicker-removal."""
+    row_stateful = True
 
     def __init__(self, in_keys=("observation",), out_keys=None, T: int = 1):
         super().__init__(in_keys, out_keys)
@@ -109,6 +111,7 @@ class TimeMaxPool(Transform):
 
 class TrajCounter(Transform):
     """Global trajectory counter across resets (reference _env.py:2307)."""
+    row_stateful = True
 
     def __init__(self, out_key: str = "traj_count"):
         super().__init__()

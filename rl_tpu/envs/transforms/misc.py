@@ -39,6 +39,7 @@ class StepCounter(Transform):
     Reference: _env.py:693.  Writes ``step_count`` (int32, shaped like
     ``done``); when ``max_steps`` is set, ORs ``truncated``/``done``.
     """
+    row_stateful = True
 
     def __init__(self, max_steps: int | None = None, step_count_key: str = "step_count"):
         super().__init__()
@@ -68,6 +69,7 @@ class StepCounter(Transform):
 class InitTracker(Transform):
     """Write ``is_init``: True on reset steps, False otherwise
     (reference _env.py:1499). Used to reset recurrent states mid-sequence."""
+    row_stateful = True
 
     def __init__(self, init_key: str = "is_init"):
         super().__init__()
@@ -92,6 +94,7 @@ class TensorDictPrimer(Transform):
     Reference: _env.py:211.  ``primers`` maps keys to specs; values default
     to ``spec.zero()`` (or ``rand`` with ``random=True``).
     """
+    row_stateful = True
 
     def __init__(self, primers: dict | Composite, random: bool = False):
         super().__init__()

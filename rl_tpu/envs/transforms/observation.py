@@ -77,6 +77,7 @@ class CatFrames(Transform):
     buffer is filled with the first observation (the reference's default
     ``padding="same"``).
     """
+    row_stateful = True
 
     def __init__(self, N: int, axis: int = -1, in_keys=DEFAULT_IN, out_keys=None,
                  padding: str = "same"):

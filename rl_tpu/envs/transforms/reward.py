@@ -89,6 +89,7 @@ class RewardSum(Transform):
     The value written at the done step is the final episode return; the
     accumulator resets via the auto-reset ``on_done`` select.
     """
+    row_stateful = True
 
     def __init__(self, in_keys=REWARD_IN, out_keys=("episode_reward",)):
         super().__init__(in_keys, out_keys)

@@ -173,6 +173,8 @@ class ProcessInferenceServer:
         self._inner.update_weights(params)
 
     def _drain(self, i: int) -> None:
+        from rl_tpu.comm.shm_ring import encode_array
+
         while self._running:
             try:
                 obs = self._req[i].pop_array(timeout=0.1)
@@ -180,10 +182,13 @@ class ProcessInferenceServer:
                 continue
             try:
                 action = self._inner.query(obs)
-                self._rep[i].push_array(np.asarray(action))
-            except Exception:
-                # poison response: NaN scalar signals failure to the client
-                self._rep[i].push_array(np.asarray([np.nan], np.float32))
+                self._rep[i].push_bytes(b"\x00" + encode_array(
+                    np.asarray(action)))
+            except Exception as e:
+                # error frame: status byte 0x01 + utf8 message — the client
+                # raises instead of treating it as an action (ADVICE r3 #5)
+                msg = f"{type(e).__name__}: {e}".encode()[:4096]
+                self._rep[i].push_bytes(b"\x01" + msg)
 
     def close(self) -> None:
         self._running = False
@@ -212,8 +217,14 @@ class ProcessPolicyClient:
                    ShmRing.attach(f"{name}_rep_{client_id}", timeout=timeout))
 
     def __call__(self, obs, *, timeout: float = 30.0) -> np.ndarray:
+        from rl_tpu.comm.shm_ring import decode_array
+
         self._req.push_array(np.asarray(obs), timeout=timeout)
-        return self._rep.pop_array(timeout=timeout)
+        raw = self._rep.pop_bytes(timeout=timeout)
+        if raw[:1] == b"\x01":
+            raise RuntimeError(
+                "inference server failed: " + raw[1:].decode(errors="replace"))
+        return decode_array(raw[1:])
 
     def close(self) -> None:
         self._req.close()

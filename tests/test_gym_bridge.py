@@ -95,3 +95,35 @@ class TestMuJoCoBridge:
             assert np.isfinite(np.asarray(ys["next", "reward"])).all()
         finally:
             env.close()
+
+
+class TestHostAutoresetGuard:
+    def test_row_stateful_transform_rejected(self, key):
+        # per-row-state transforms (StepCounter & co) silently corrupt under
+        # the host-autoreset bridge (reset applied to every row each step) —
+        # must raise instead (ADVICE r3 #2)
+        import pytest
+
+        from rl_tpu.envs.transforms import StepCounter, TransformedEnv
+
+        env = TransformedEnv(GymEnv("CartPole-v1", num_envs=2), StepCounter())
+        try:
+            state, td = env.reset(key)
+            td = env.env.rand_action(td, key)
+            with pytest.raises(ValueError, match="StepCounter"):
+                env.step_and_maybe_reset(state, td, key)
+        finally:
+            env.env.close()
+
+    def test_stateless_transform_still_works(self, key):
+        from rl_tpu.envs.transforms import RewardScaling, TransformedEnv
+
+        env = TransformedEnv(GymEnv("CartPole-v1", num_envs=2),
+                             RewardScaling(scale=0.5))
+        try:
+            state, td = env.reset(key)
+            td = env.env.rand_action(td, key)
+            state, full, root = env.step_and_maybe_reset(state, td, key)
+            assert float(np.asarray(full["next", "reward"]).max()) == 0.5
+        finally:
+            env.env.close()

@@ -58,6 +58,26 @@ class TestProcessInferenceServer:
         finally:
             server.close()
 
+    def test_server_error_raises_in_client(self):
+        # a server-side exception must surface as an error to the client,
+        # not silently become a NaN "action" (ADVICE r3 #5)
+        def policy(params, obs, k):
+            raise ValueError("policy exploded")
+
+        server = ProcessInferenceServer(
+            policy, None, name="t_procinf3", n_clients=1,
+            max_batch_size=4, timeout_ms=1,
+        )
+        try:
+            client = ProcessPolicyClient.attach("t_procinf3", 0)
+            import pytest
+
+            with pytest.raises(RuntimeError, match="policy exploded"):
+                client(np.asarray([1.0]))
+            client.close()
+        finally:
+            server.close()
+
     def test_weight_update_visible_to_process_clients(self):
         def policy(params, obs, k):
             return np.asarray(obs) * params
