@@ -107,7 +107,12 @@ class TestIMPALA:
 
         @jax.jit
         def learn(params, opt, batch, key):
-            batch = vtrace(params["critic"], batch)
+            # target policy = CURRENT actor params (collection used stale
+            # behaviour params) — passing params_actor is what turns the
+            # importance correction on
+            adv, target = vtrace.estimate(params["critic"], batch,
+                                          params_actor=params["actor"])
+            batch = batch.set("advantage", adv).set("value_target", target)
             flat = batch.apply(lambda x: x.reshape((-1,) + x.shape[2:]))
             (total, m), grads = jax.value_and_grad(
                 lambda p: loss_mod(p, flat, key), has_aux=True
