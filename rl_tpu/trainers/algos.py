@@ -748,7 +748,7 @@ class GenericOffPolicyTrainer(_OffPolicyTrainer):
                  lr=3e-4, tau=0.005, frames_per_batch=128,
                  total_frames=100_000, buffer_capacity=1_000_000,
                  batch_size=256, utd=4, init_random_frames=0, seed=0,
-                 **base_kwargs):
+                 tx=None, **base_kwargs):
         super().__init__(
             frames_per_batch=frames_per_batch, total_frames=total_frames,
             buffer_capacity=buffer_capacity, batch_size=batch_size, utd=utd,
@@ -768,7 +768,9 @@ class GenericOffPolicyTrainer(_OffPolicyTrainer):
             lambda x: jnp.asarray(x)[:1] if env.batch_size
             else jnp.asarray(x)[None], td0)
         self.params = loss_module.init(key, example)
-        self.tx = optax.adam(lr)
+        # optional optax override (e.g. CrossQ's Adam(b1=0.5) — reference
+        # sota-implementations/crossq/config.yaml optim.beta1)
+        self.tx = optax.adam(lr) if tx is None else tx
         self.opt_state = self.tx.init(self.params)
 
     def _grad_and_update(self, params, opt_state, mb, k, idx):

@@ -23,7 +23,7 @@ from _common import gaussian_actor
 
 DEFAULTS = dict(
     num_envs=8, frames_per_batch=256, total_frames=100_000,
-    buffer_capacity=200_000, batch_size=256, utd=16, lr=3e-4,
+    buffer_capacity=200_000, batch_size=256, utd=16, lr=1e-3,
     gamma=0.99, init_random_frames=2_000, seed=0, logger="csv",
 )
 
@@ -72,6 +72,8 @@ def main(cfg=None):
     env = BatchedEnv(PendulumEnv(), cfg["num_envs"])
     actor = gaussian_actor(1, low=-2.0, high=2.0)
     loss = CrossQLoss(actor, RenormQNet(), action_dim=1, gamma=cfg["gamma"])
+    import optax
+
     logger = (CSVLogger(generate_exp_name("crossq", "pendulum"))
               if cfg["logger"] == "csv" else None)
     evaluator = Evaluator(env, lambda p, td, k: actor(p["actor"], td, key=k),
@@ -85,9 +87,16 @@ def main(cfg=None):
         utd=cfg["utd"], init_random_frames=cfg["init_random_frames"],
         seed=cfg["seed"], logger=logger, evaluator=evaluator,
         eval_interval=50,
+        # reference CrossQ optimizer: Adam(b1=0.5, b2=0.999, eps=1e-8) —
+        # sota-implementations/crossq/config.yaml optim.beta1
+        tx=optax.adam(cfg["lr"], b1=0.5, b2=0.999, eps=1e-8),
     )
     params = trainer.train()
-    stats = evaluator.evaluate(params, jax.random.PRNGKey(cfg["seed"] + 1))
+    final_eval = Evaluator(env, lambda p, td, k: actor(p["actor"], td, key=k),
+                           max_steps=200, num_episodes=32, logger=logger,
+                           log_prefix="final_eval")
+    stats = final_eval.evaluate(params, jax.random.PRNGKey(cfg["seed"] + 1),
+                                step=cfg["total_frames"])
     print("final eval:", stats)
     return params, stats
 
