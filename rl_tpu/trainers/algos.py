@@ -122,6 +122,10 @@ class PPOTrainer(_TrainerBase):
         lmbda: float = 0.95,
         clip_epsilon: float = 0.2,
         entropy_coeff: float = 0.01,
+        critic_coeff: float = 1.0,
+        loss_critic_type: str = "smooth_l1",
+        normalize_advantage: bool = False,
+        average_gae: bool | None = None,
         anneal_lr: bool = False,
         seed: int = 0,
         **base_kwargs,
@@ -139,9 +143,17 @@ class PPOTrainer(_TrainerBase):
             env, lambda p, td, k: actor(p["actor"], td, key=k),
             frames_per_batch=frames_per_batch,
         )
-        self.gae = GAE(gamma, lmbda, critic, average_gae=True)
+        # reference ppo_mujoco.py normalizes advantages PER MINIBATCH
+        # (normalize_advantage=True in the loss); batch-level average_gae
+        # is the default elsewhere — pick one, not both
+        if average_gae is None:
+            average_gae = not normalize_advantage
+        self.gae = GAE(gamma, lmbda, critic, average_gae=average_gae)
         self.loss_module = self._make_loss(
-            actor, critic, clip_epsilon=clip_epsilon, entropy_coeff=entropy_coeff
+            actor, critic, clip_epsilon=clip_epsilon,
+            entropy_coeff=entropy_coeff, critic_coeff=critic_coeff,
+            loss_critic_type=loss_critic_type,
+            normalize_advantage=normalize_advantage,
         )
         key = jax.random.PRNGKey(seed)
         k1, k2 = jax.random.split(key)
@@ -159,9 +171,14 @@ class PPOTrainer(_TrainerBase):
         # every buffer (params, opt state, env state) once per iteration
         self._update = jax.jit(self._update_impl, donate_argnums=(0, 1, 2))
 
-    def _make_loss(self, actor, critic, *, clip_epsilon, entropy_coeff):
+    def _make_loss(self, actor, critic, *, clip_epsilon, entropy_coeff,
+                   critic_coeff=1.0, loss_critic_type="smooth_l1",
+                   normalize_advantage=False):
         return ClipPPOLoss(actor, critic, clip_epsilon=clip_epsilon,
-                           entropy_coeff=entropy_coeff)
+                           entropy_coeff=entropy_coeff,
+                           critic_coeff=critic_coeff,
+                           loss_critic_type=loss_critic_type,
+                           normalize_advantage=normalize_advantage)
 
     def _update_impl(self, params, opt_state, cstate, key):
         cstate, batch = self.collector._collect(params, cstate)
@@ -712,10 +729,13 @@ class A2CTrainer(PPOTrainer):
                          minibatches=minibatches,
                          entropy_coeff=entropy_coeff, **kwargs)
 
-    def _make_loss(self, actor, critic, *, clip_epsilon, entropy_coeff):
+    def _make_loss(self, actor, critic, *, clip_epsilon, entropy_coeff,
+                   critic_coeff=1.0, loss_critic_type="smooth_l1", **kw):
         from rl_tpu.objectives import A2CLoss
 
-        return A2CLoss(actor, critic, entropy_coeff=entropy_coeff)
+        return A2CLoss(actor, critic, entropy_coeff=entropy_coeff,
+                       critic_coeff=critic_coeff,
+                       loss_critic_type=loss_critic_type)
 
 
 class ReinforceTrainer(PPOTrainer):
@@ -727,7 +747,8 @@ class ReinforceTrainer(PPOTrainer):
         super().__init__(env, actor, critic, num_epochs=num_epochs,
                          minibatches=minibatches, **kwargs)
 
-    def _make_loss(self, actor, critic, *, clip_epsilon, entropy_coeff):
+    def _make_loss(self, actor, critic, *, clip_epsilon, entropy_coeff,
+                   **kw):
         from rl_tpu.objectives import ReinforceLoss
 
         return ReinforceLoss(actor, critic)
@@ -798,7 +819,8 @@ class MultiAgentPPOTrainer(PPOTrainer):
         self._variant = variant
         super().__init__(env, actor, critic, **kwargs)
 
-    def _make_loss(self, actor, critic, *, clip_epsilon, entropy_coeff):
+    def _make_loss(self, actor, critic, *, clip_epsilon, entropy_coeff,
+                   **kw):
         from rl_tpu.objectives import IPPOLoss, MAPPOLoss
 
         cls = MAPPOLoss if self._variant == "mappo" else IPPOLoss

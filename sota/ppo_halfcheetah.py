@@ -30,9 +30,17 @@ DEFAULTS = dict(
 def main(cfg=None):
     cfg = {**DEFAULTS, **(cfg or {})}
     # reference config_mujoco.yaml sets normalize_observation: True — PPO
-    # with tanh nets flatlines on raw HalfCheetah observations (the r2 run)
+    # with tanh nets flatlines on raw HalfCheetah observations (the r2 run).
+    # Match the reference stats exactly (utils_mujoco.py:156-158):
+    # VecNorm(decay=0.99999, eps=1e-2) + obs clip to ±10 — the round-3 run
+    # used eps=1e-4 with no clip, letting low-variance dims blow up 100x
+    # into the value net (the post-peak collapse, VERDICT r3 weak #4)
+    from rl_tpu.envs.transforms import ClipTransform
+
     env = TransformedEnv(GymEnv(cfg["env_name"], num_envs=cfg["num_envs"]),
-                         VecNorm(batch_ndim=1))
+                         [VecNorm(batch_ndim=1, decay=0.99999, eps=1e-2),
+                          ClipTransform(low=-10.0, high=10.0,
+                                        in_keys=["observation"])])
     act_spec = env.action_spec
     act_dim = act_spec.shape[-1]
     # the reference recipe (utils_mujoco.py:299-348): tanh [64,64] nets,
@@ -68,7 +76,11 @@ def main(cfg=None):
         minibatches=cfg["minibatches"], lr_actor=cfg["lr_actor"],
         lr_critic=cfg["lr_critic"], gamma=cfg["gamma"], lmbda=cfg["lmbda"],
         clip_epsilon=cfg["clip_epsilon"],
-        entropy_coeff=cfg["entropy_coeff"], anneal_lr=cfg["anneal_lr"],
+        entropy_coeff=cfg["entropy_coeff"],
+        # reference loss block: critic_coeff 0.25, l2, per-minibatch
+        # advantage normalization (ppo_mujoco.py:184-187)
+        critic_coeff=0.25, loss_critic_type="l2", normalize_advantage=True,
+        anneal_lr=cfg["anneal_lr"],
         seed=cfg["seed"], logger=logger,
         evaluator=evaluator, eval_interval=10,
     )
