@@ -19,7 +19,9 @@ from rl_tpu.data.tdict import TDict
 from rl_tpu.data.replay import ReplayBuffer, SamplerWithoutReplacement, TensorStorage
 
 __all__ = ["load_d4rl_npz", "load_hdf5", "load_minari_hdf5",
-           "load_atari_dqn_shard", "OfflineDatasetBuffer",
+           "load_atari_dqn_shard", "load_vd4rl_npz", "load_roboset_h5",
+           "load_gen_dgrl", "load_openml_table", "load_openx_episodes",
+           "load_lerobot_dir", "OfflineDatasetBuffer",
            "BaseDatasetExperienceReplay", "D4RLExperienceReplay",
            "MinariExperienceReplay", "AtariDQNExperienceReplay",
            "OpenXExperienceReplay", "RobosetExperienceReplay",
@@ -235,7 +237,11 @@ class BaseDatasetExperienceReplay(OfflineDatasetBuffer):
                     break
         self.dataset_id = dataset_id
         data = self._decode(str(path))
-        n = int(jnp.asarray(data["observation"]).shape[0])
+        # row count from the first leaf — not every format has "observation"
+        # (OpenML bandits tables carry X/y)
+        import jax
+
+        n = int(np.asarray(jax.tree.leaves(data)[0]).shape[0])
         ReplayBuffer.__init__(self, storage=TensorStorage(n),
                               batch_size=batch_size)
         self.extend(data)
@@ -291,37 +297,404 @@ class AtariDQNExperienceReplay(BaseDatasetExperienceReplay):
         return load_atari_dqn_shard(directory, self._ckpt)
 
 
+# -- format decoders for the remaining hubs ---------------------------------
+#
+# Each decoder reads the dataset's NATIVE on-disk layout from a local path
+# (the download layer of the reference becomes a documented file contract —
+# zero egress in this image).  Fixture-backed tests synthesize each layout
+# in tests/test_dataset_formats.py.
+
+
+def load_vd4rl_npz(path: str) -> TDict:
+    """Decode V-D4RL's npz stream chunks (reference vd4rl.py:413 `_from_npz`
+    + the is_first/is_last/is_terminal name map at :420).
+
+    Layout: one ``.npz`` (or a directory of them) with flat step streams —
+    ``observation``/``image`` [T, H, W, C] uint8, ``action`` [T, A],
+    ``reward`` [T], ``discount`` [T], ``is_first``/``is_last``/
+    ``is_terminal`` [T].  DMC convention: ``action[t]``/``reward[t]`` LED TO
+    ``obs[t]`` — transition t pairs (obs[t], action[t+1]) and drops pairs
+    that cross stream boundaries (``is_first[t+1]``).
+    """
+    files = ([os.path.join(path, f) for f in sorted(os.listdir(path))
+              if f.endswith(".npz")] if os.path.isdir(path) else [path])
+    parts = []
+    for f in files:
+        with np.load(f) as z:
+            d = {k: z[k] for k in z.files}
+        obs = np.asarray(d.get("observation", d.get("image")))
+        act = np.asarray(d["action"], np.float32)
+        rew = np.asarray(d["reward"], np.float32)
+        is_first = np.asarray(d["is_first"], bool)
+        is_last = np.asarray(d["is_last"], bool)
+        is_term = np.asarray(d["is_terminal"], bool)
+        keep = ~is_first[1:]  # next step starts a new episode -> drop pair
+        parts.append(dict(
+            observation=obs[:-1][keep],
+            action=act[1:][keep],
+            next_observation=obs[1:][keep],
+            reward=rew[1:][keep],
+            terminated=is_term[1:][keep],
+            done=is_last[1:][keep],
+        ))
+    cat = {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
+    done = cat["done"][:, None]
+    term = cat["terminated"][:, None]
+    return TDict(
+        observation=jnp.asarray(cat["observation"]),
+        action=jnp.asarray(cat["action"]),
+        next={
+            "observation": jnp.asarray(cat["next_observation"]),
+            "reward": jnp.asarray(cat["reward"][:, None]),
+            "terminated": jnp.asarray(term),
+            "truncated": jnp.asarray(done & ~term),
+            "done": jnp.asarray(done),
+        },
+    )
+
+
+def load_roboset_h5(path: str) -> TDict:
+    """Decode RoboSet's per-trial HDF5 groups (reference roboset.py:255:
+    ``Trial<N>`` groups with ``observations``/``actions``/``rewards``/
+    ``done`` step arrays; ``env_infos`` ignored).
+
+    Per trial: ``observations`` [T, D] (or a group of sub-keys), the last
+    row is the post-episode observation — transitions are the T-1 pairs.
+    """
+    import h5py
+
+    eps = []
+    with h5py.File(path, "r") as f:
+        names = sorted((k for k in f.keys() if k.lower().startswith("trial")),
+                       key=lambda s: int("".join(c for c in s if c.isdigit())
+                                         or 0))
+        for name in names:
+            g = f[name]
+            obs = np.asarray(g["observations"], np.float32)
+            act = np.asarray(g["actions"], np.float32)
+            rew = np.asarray(g["rewards"], np.float32)
+            done = (np.asarray(g["done"], bool) if "done" in g
+                    else np.zeros(len(rew), bool))
+            T = min(len(obs) - 1, len(act), len(rew))
+            if T <= 0:
+                continue
+            d = done[:T].copy()
+            d[-1] = True  # trial boundary
+            eps.append(dict(observation=obs[:T], action=act[:T],
+                            next_observation=obs[1:T + 1], reward=rew[:T],
+                            terminated=done[:T], done=d, episode=None))
+    cat = {k: np.concatenate([e[k] for e in eps])
+           for k in eps[0] if k != "episode"}
+    episode = np.concatenate([np.full(len(e["reward"]), i, np.int32)
+                              for i, e in enumerate(eps)])
+    done = cat["done"][:, None]
+    term = cat["terminated"][:, None]
+    return TDict(
+        observation=jnp.asarray(cat["observation"]),
+        action=jnp.asarray(cat["action"]),
+        episode=jnp.asarray(episode),
+        next={
+            "observation": jnp.asarray(cat["next_observation"]),
+            "reward": jnp.asarray(cat["reward"][:, None]),
+            "terminated": jnp.asarray(term),
+            "truncated": jnp.asarray(done & ~term),
+            "done": jnp.asarray(done),
+        },
+    )
+
+
+def load_gen_dgrl(path: str) -> TDict:
+    """Decode Gen-DGRL trajectory files (reference gen_dgrl.py:46,274: a tar
+    archive — or directory — of per-trajectory ``.npy`` dict files with
+    ``observations`` uint8 [T+1, ...], ``actions``/``rewards``/``dones``
+    [T]; ``next.observation = observations[1:]``)."""
+    import io
+    import tarfile
+
+    def read_npy_buffers():
+        if os.path.isdir(path):
+            for fn in sorted(os.listdir(path)):
+                if fn.endswith(".npy"):
+                    with open(os.path.join(path, fn), "rb") as fh:
+                        yield fh.read()
+        else:
+            mode = "r:xz" if path.endswith(".xz") else "r"
+            with tarfile.open(path, mode) as tar:
+                for member in tar.getmembers():
+                    if member.isfile() and member.name.endswith(".npy"):
+                        yield tar.extractfile(member).read()
+
+    eps = []
+    for raw in read_npy_buffers():
+        d = np.load(io.BytesIO(raw), allow_pickle=True).item()
+        obs = np.asarray(d["observations"])
+        act = np.asarray(d["actions"])
+        rew = np.asarray(d["rewards"], np.float32)
+        dones = np.asarray(d["dones"], bool)
+        T = len(act)
+        eps.append(dict(observation=obs[:T], action=act,
+                        next_observation=obs[1:T + 1], reward=rew,
+                        done=dones))
+    cat = {k: np.concatenate([e[k] for e in eps]) for k in eps[0]}
+    done = cat["done"][:, None]
+    return TDict(
+        observation=jnp.asarray(cat["observation"]),
+        action=jnp.asarray(cat["action"]),
+        next={
+            "observation": jnp.asarray(cat["next_observation"]),
+            "reward": jnp.asarray(cat["reward"][:, None]),
+            "terminated": jnp.asarray(done),
+            "truncated": jnp.asarray(np.zeros_like(done)),
+            "done": jnp.asarray(done),
+        },
+    )
+
+
+def load_openml_table(path: str) -> TDict:
+    """Decode a tabular classification table into the bandit schema the
+    reference produces (openml.py:177 ``TensorDict({"X": ..., "y": ...})``):
+    CSV or parquet, target column named ``label``/``class``/``y`` (else the
+    last column); categoricals label-encoded, numerics standardized."""
+    import pandas as pd
+
+    df = (pd.read_parquet(path) if path.endswith((".parquet", ".pq"))
+          else pd.read_csv(path))
+    target = next((c for c in ("label", "class", "y") if c in df.columns),
+                  df.columns[-1])
+    y_raw = df[target]
+    X = df.drop(columns=[target])
+    y = y_raw.astype("category").cat.codes.to_numpy(np.int64)
+    cols = []
+    for c in X.columns:
+        col = X[c]
+        if not pd.api.types.is_numeric_dtype(col):
+            cols.append(col.astype("category").cat.codes.to_numpy(np.float32))
+        else:
+            v = col.to_numpy(np.float32)
+            std = v.std()
+            cols.append((v - v.mean()) / (std if std > 0 else 1.0))
+    Xm = np.stack(cols, axis=1) if cols else np.zeros((len(y), 0), np.float32)
+    return TDict(X=jnp.asarray(Xm), y=jnp.asarray(y))
+
+
+def load_openx_episodes(path: str) -> TDict:
+    """Decode Open X-Embodiment episodes from a local HF-datasets save or
+    parquet file (reference openx.py:483 loads the ``jxu124/OpenX-
+    Embodiment`` rows then flattens with ``_format_data`` :760 and the
+    key map :752).
+
+    Rows carry ``{"data.pickle": {"steps": [...]}}`` (or ``{"steps":
+    [...]}``); steps have ``observation`` (dict; ``image`` may be PNG/JPEG
+    bytes — decoded via PIL), ``action``, ``reward``, ``is_first``/
+    ``is_last``/``is_terminal``.
+    """
+    import io as _io
+
+    def rows_from(path):
+        if os.path.isdir(path):
+            import datasets as hfds
+
+            return hfds.load_from_disk(path)
+        import pyarrow.parquet as pq
+
+        return pq.read_table(path).to_pylist()
+
+    def step_image(obs):
+        img = obs.get("image")
+        if isinstance(img, dict) and "bytes" in img:
+            from PIL import Image
+
+            return np.asarray(Image.open(_io.BytesIO(img["bytes"])))
+        return np.asarray(img) if img is not None else None
+
+    eps = []
+    for ep_i, row in enumerate(rows_from(path)):
+        steps = (row.get("data.pickle") or row)["steps"]
+        obs = [step_image(s.get("observation", {})) for s in steps]
+        state = [np.asarray(s["observation"]["state"], np.float32)
+                 if isinstance(s.get("observation"), dict)
+                 and "state" in s["observation"] else None for s in steps]
+        act = np.stack([np.asarray(s["action"], np.float32) for s in steps])
+        rew = np.asarray([float(s.get("reward") or 0.0) for s in steps],
+                         np.float32)
+        is_last = np.asarray([bool(s.get("is_last")) for s in steps])
+        is_term = np.asarray([bool(s.get("is_terminal")) for s in steps])
+        is_first = np.asarray([bool(s.get("is_first")) for s in steps])
+        ep = dict(action=act, reward=rew, is_init=is_first,
+                  done=is_last, terminated=is_term,
+                  episode=np.full(len(steps), ep_i, np.int32))
+        if obs[0] is not None:
+            o = np.stack(obs)
+            # next obs = shifted, last held (reference pad [0, 1])
+            ep["pixels"] = o
+            ep["next_pixels"] = np.concatenate([o[1:], o[-1:]])
+        if state[0] is not None:
+            s = np.stack(state)
+            ep["state"] = s
+            ep["next_state"] = np.concatenate([s[1:], s[-1:]])
+        eps.append(ep)
+    keys = eps[0].keys()
+    cat = {k: np.concatenate([e[k] for e in eps]) for k in keys}
+    done = cat["done"][:, None]
+    term = cat["terminated"][:, None]
+    out = TDict(
+        action=jnp.asarray(cat["action"]),
+        is_init=jnp.asarray(cat["is_init"]),
+        episode=jnp.asarray(cat["episode"]),
+        next={
+            "reward": jnp.asarray(cat["reward"][:, None]),
+            "terminated": jnp.asarray(term),
+            "truncated": jnp.asarray(done & ~term),
+            "done": jnp.asarray(done),
+        },
+    )
+    if "pixels" in cat:
+        out = out.set("observation", jnp.asarray(cat["pixels"]))
+        out = out.set(("next", "observation"),
+                      jnp.asarray(cat["next_pixels"]))
+    if "state" in cat:
+        out = out.set("state", jnp.asarray(cat["state"]))
+        out = out.set(("next", "state"), jnp.asarray(cat["next_state"]))
+    return out
+
+
+def load_lerobot_dir(path: str) -> TDict:
+    """Decode the on-disk LeRobot layout (reference lerobot.py:176-321
+    reads it without the ``lerobot`` package: ``meta/info.json`` +
+    ``data/**/*.parquet`` with ``observation.state``/``action``/
+    ``episode_index``/``frame_index``/``timestamp`` columns; v2.x and v3.x
+    chunk layouts).  Video columns (mp4) are skipped — this image has no
+    video decoder; state/action streams decode fully."""
+    import glob
+    import json
+
+    import pyarrow.parquet as pq
+
+    root = path
+    info = {}
+    meta = os.path.join(root, "meta", "info.json")
+    if os.path.exists(meta):
+        with open(meta) as f:
+            info = json.load(f)
+    files = sorted(glob.glob(os.path.join(root, "data", "**", "*.parquet"),
+                             recursive=True))
+    if not files and os.path.isfile(root) and root.endswith(".parquet"):
+        files = [root]
+    if not files:
+        raise FileNotFoundError(
+            f"no LeRobot parquet files under {root!r} (expected "
+            "data/**/*.parquet per the LeRobot v2/v3 layout)")
+    import pandas as pd
+
+    df = pd.concat([pq.read_table(f).to_pandas() for f in files],
+                   ignore_index=True)
+    df = df.sort_values(["episode_index", "frame_index"]).reset_index(drop=True)
+    ep = df["episode_index"].to_numpy(np.int64)
+    out = {"episode": ep,
+           "frame": df["frame_index"].to_numpy(np.int64)}
+    if "timestamp" in df:
+        out["timestamp"] = df["timestamp"].to_numpy(np.float32)
+
+    def column_matrix(name):
+        col = df[name].to_numpy()
+        return np.stack([np.asarray(v, np.float32) for v in col])
+
+    state_col = next((c for c in df.columns
+                      if c in ("observation.state", "observation")), None)
+    if state_col:
+        out["observation"] = column_matrix(state_col)
+    if "action" in df:
+        out["action"] = column_matrix("action")
+    if "next.reward" in df:
+        out["reward"] = df["next.reward"].to_numpy(np.float32)
+    # intra-episode shift for next.*; episode ends -> done
+    ends = np.ones(len(ep), bool)
+    ends[:-1] = ep[1:] != ep[:-1]
+    td = TDict(episode=jnp.asarray(out["episode"]),
+               frame=jnp.asarray(out["frame"]))
+    if "timestamp" in out:
+        td = td.set("timestamp", jnp.asarray(out["timestamp"]))
+    nxt = {
+        "done": jnp.asarray(ends[:, None]),
+        "terminated": jnp.asarray(ends[:, None]),
+        "truncated": jnp.asarray(np.zeros((len(ep), 1), bool)),
+    }
+    if "reward" in out:
+        nxt["reward"] = jnp.asarray(out["reward"][:, None])
+    if "observation" in out:
+        obs = out["observation"]
+        next_obs = np.concatenate([obs[1:], obs[-1:]])
+        next_obs[ends] = obs[ends]
+        td = td.set("observation", jnp.asarray(obs))
+        nxt["observation"] = jnp.asarray(next_obs)
+    if "action" in out:
+        td = td.set("action", jnp.asarray(out["action"]))
+    del info  # meta/info.json validated the layout; content not stored
+    td = td.set("next", TDict(**nxt))
+    return td
+
+
 class OpenXExperienceReplay(BaseDatasetExperienceReplay):
-    """Reference openx.py:36 — Open X-Embodiment robot episodes."""
+    """Reference openx.py:36 — Open X-Embodiment robot episodes, decoded
+    from a local HF-datasets save dir or parquet of episode rows."""
 
     hub = "Open X-Embodiment bucket"
 
+    @classmethod
+    def _decode(cls, path: str) -> TDict:
+        return load_openx_episodes(path)
+
 
 class RobosetExperienceReplay(BaseDatasetExperienceReplay):
-    """Reference roboset.py:39 — RoboSet manipulation datasets."""
+    """Reference roboset.py:39 — RoboSet manipulation datasets, decoded
+    from the Trial<N>-group HDF5 layout."""
 
     hub = "RoboSet hub"
 
+    @classmethod
+    def _decode(cls, path: str) -> TDict:
+        return load_roboset_h5(path)
+
 
 class VD4RLExperienceReplay(BaseDatasetExperienceReplay):
-    """Reference vd4rl.py:38 — pixel-based V-D4RL datasets."""
+    """Reference vd4rl.py:38 — pixel V-D4RL datasets, decoded from the
+    npz step-stream chunks."""
 
     hub = "V-D4RL hub"
 
+    @classmethod
+    def _decode(cls, path: str) -> TDict:
+        return load_vd4rl_npz(path)
+
 
 class GenDGRLExperienceReplay(BaseDatasetExperienceReplay):
-    """Reference gen_dgrl.py:29 — procgen generalization datasets."""
+    """Reference gen_dgrl.py:29 — procgen generalization datasets, decoded
+    from the tar-of-npy trajectory layout."""
 
     hub = "GenDGRL release"
 
+    @classmethod
+    def _decode(cls, path: str) -> TDict:
+        return load_gen_dgrl(path)
+
 
 class OpenMLExperienceReplay(BaseDatasetExperienceReplay):
-    """Reference openml.py:23 — OpenML tabular tasks (bandits)."""
+    """Reference openml.py:23 — OpenML tabular tasks (bandits), decoded
+    from CSV/parquet into the reference's ``{"X", "y"}`` schema."""
 
     hub = "OpenML"
 
+    @classmethod
+    def _decode(cls, path: str) -> TDict:
+        return load_openml_table(path)
+
 
 class LeRobotExperienceReplay(BaseDatasetExperienceReplay):
-    """Reference lerobot.py:321 — LeRobot episode datasets."""
+    """Reference lerobot.py:321 — LeRobot episode datasets, decoded from
+    the native meta/info.json + data/**/*.parquet layout."""
 
     hub = "HuggingFace LeRobot"
+
+    @classmethod
+    def _decode(cls, path: str) -> TDict:
+        return load_lerobot_dir(path)

@@ -59,7 +59,7 @@ def _unalias(*trees):
 
 
 def _split_optimizer(params: TDict, lr_map: dict[str, float], clip: float = 0.5,
-                     anneal_steps: int | None = None):
+                     anneal_steps: int | None = None, adam_eps: float = 1e-8):
     """Per-subtree adam with per-subtree grad clipping (a shared global clip
     lets large-scale critic grads starve the actor).  ``anneal_steps``
     enables the reference's linear lr decay to 0 over that many optimizer
@@ -72,7 +72,8 @@ def _split_optimizer(params: TDict, lr_map: dict[str, float], clip: float = 0.5,
         return lr
 
     txs = {
-        k: optax.chain(optax.clip_by_global_norm(clip), optax.adam(lr_for(lr)))
+        k: optax.chain(optax.clip_by_global_norm(clip),
+                       optax.adam(lr_for(lr), eps=adam_eps))
         for k, lr in lr_map.items()
     }
     return optax.multi_transform(txs, labels)
@@ -93,9 +94,12 @@ class _TrainerBase:
             for k, v in metrics.items():
                 self.logger.log_scalar(k, float(v), step=step)
 
-    def _maybe_eval_and_save(self, it: int, params, key, frames: int):
+    def _maybe_eval_and_save(self, it: int, params, key, frames: int,
+                             env_state=None):
         if self.evaluator is not None and it % self.eval_interval == 0:
-            self.evaluator.evaluate(params, key, step=frames)
+            # env_state carries transform state (VecNorm stats) into eval
+            self.evaluator.evaluate(params, key, step=frames,
+                                    env_state=env_state)
         if self.save_path and self.save_interval and it % self.save_interval == 0:
             from rl_tpu.checkpoint import save_pytree
 
@@ -127,6 +131,7 @@ class PPOTrainer(_TrainerBase):
         normalize_advantage: bool = False,
         average_gae: bool | None = None,
         anneal_lr: bool = False,
+        adam_eps: float = 1e-8,
         seed: int = 0,
         **base_kwargs,
     ):
@@ -164,7 +169,7 @@ class PPOTrainer(_TrainerBase):
                      * num_epochs * minibatches) if anneal_lr else None
         self.tx = _split_optimizer(
             self.params, {"actor": lr_actor, "critic": lr_critic},
-            anneal_steps=n_updates)
+            anneal_steps=n_updates, adam_eps=adam_eps)
         self.opt_state = self.tx.init(self.params)
         self._key = key
         # donate carried state: pass-through jit outputs otherwise copy
@@ -234,8 +239,10 @@ class PPOTrainer(_TrainerBase):
                 {"train/loss": loss, "train/reward": reward}, step=frames
             )
             self._key, k = jax.random.split(self._key)
-            self._maybe_eval_and_save(it, self.params, k, frames)
+            self._maybe_eval_and_save(it, self.params, k, frames,
+                                      env_state=cstate["env_state"])
             it += 1
+        self.final_env_state = cstate["env_state"]
         return self.params
 
 
@@ -338,8 +345,10 @@ class _OffPolicyTrainer(_TrainerBase):
             frames += self.collector.frames_per_batch
             self._log({"train/reward": float(reward)}, step=frames)
             self._key, k = jax.random.split(self._key)
-            self._maybe_eval_and_save(it, self.params, k, frames)
+            self._maybe_eval_and_save(it, self.params, k, frames,
+                                      env_state=cstate["env_state"])
             it += 1
+        self.final_env_state = cstate["env_state"]
         self._final_aux = aux
         return self.params
 

