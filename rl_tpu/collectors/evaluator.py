@@ -88,6 +88,19 @@ class Evaluator:
         """``env_state``: a live env state pytree (e.g. the training
         collector's) whose TRANSFORM state (VecNorm running stats, ...)
         should carry into the eval episodes."""
+        if env_state is not None:
+            # only envs whose reset() carries prior state (TransformedEnv's
+            # prev_state for VecNorm stats etc.) can use it; plain envs
+            # fall back to the cold rollout
+            import inspect
+
+            try:
+                carries = "prev_state" in inspect.signature(
+                    self.env.reset).parameters
+            except (TypeError, ValueError):
+                carries = False
+            if not carries:
+                env_state = None
         if env_state is None:
             if self._jit_rollout is None:
                 self._jit_rollout = jax.jit(

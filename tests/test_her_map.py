@@ -149,3 +149,73 @@ class TestMCTSSearchLoop:
                 n.update(a, ret)
         # action 1 (increment) earns reward; action 0 earns none
         assert root.q_values[1] > root.q_values[0]
+
+
+class TestMapProperties:
+    """Property tests (VERDICT r3 next #9): randomized invariants of the
+    hash map / forest, dict-equivalence as the oracle."""
+
+    def _tds(self, n, key, dim=3):
+        import jax
+
+        obs = jax.random.randint(key, (n, dim), 0, 5)
+        return [TDict(observation=jnp.asarray(obs[i])) for i in range(n)]
+
+    def test_map_matches_python_dict_oracle(self, key):
+        import jax
+
+        m = TensorDictMap(["observation"])
+        oracle = {}
+        tds = self._tds(200, key)
+        for i, td in enumerate(tds):
+            k = tuple(np.asarray(td["observation"]).tolist())
+            m[td] = TDict(v=jnp.asarray(float(i)))
+            oracle[k] = float(i)  # later writes win, like the map
+        assert len(m) == len(oracle)
+        for td in tds:
+            k = tuple(np.asarray(td["observation"]).tolist())
+            assert float(m[td]["v"]) == oracle[k]
+        # membership agrees on unseen states
+        fresh = TDict(observation=jnp.asarray([9, 9, 9]))
+        assert (fresh in m) == (tuple([9, 9, 9]) in oracle)
+
+    def test_map_update_in_place_counts(self, key):
+        m = TensorDictMap(["observation"])
+        tds = self._tds(100, key, dim=1)  # many collisions on 5 values
+        counts = {}
+        for td in tds:
+            k = int(np.asarray(td["observation"])[0])
+            counts[k] = counts.get(k, 0) + 1
+            m.update_in_place(
+                td, lambda cur: TDict(n=cur["n"] + 1),
+                default=TDict(n=jnp.asarray(0)))
+        for k, c in counts.items():
+            assert int(m[TDict(observation=jnp.asarray([k]))]["n"]) == c
+
+    def test_forest_transposition_sharing_and_stats(self, key):
+        import jax
+
+        f = MCTSForest(n_actions=3)
+        states = self._tds(50, key, dim=2)
+        rng = np.random.RandomState(0)
+        # visit randomly; mirror stats in an oracle keyed by state tuple
+        oracle_visits = {}
+        for _ in range(500):
+            td = states[rng.randint(len(states))]
+            a = rng.randint(3)
+            v = rng.randn()
+            node = f.get_node(td)
+            node.update(a, v)
+            k = tuple(np.asarray(td["observation"]).tolist())
+            oracle_visits.setdefault(k, np.zeros(3))
+            oracle_visits[k][a] += 1
+        # transpositions shared: forest size == distinct states visited
+        assert len(f) == len(oracle_visits)
+        for td in states:
+            k = tuple(np.asarray(td["observation"]).tolist())
+            if k in oracle_visits:
+                np.testing.assert_array_equal(f.get_node(td).visits,
+                                              oracle_visits[k])
+        # q_values finite with zero-visit actions present
+        for td in states[:5]:
+            assert np.all(np.isfinite(f.get_node(td).q_values))

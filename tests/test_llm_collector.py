@@ -130,3 +130,112 @@ class TestAsyncBatchedCollector:
             time.sleep(0.01)
         c.async_shutdown()
         assert len(sink) >= 8
+
+
+class TestGRPOEndToEnd:
+    def test_chatenv_collector_grpo_two_epochs_with_versions(self):
+        """ChatEnv -> LLMCollector -> grpo_loss, >=2 training epochs, with
+        policy-version stamping asserted across the weight pushes
+        (VERDICT r3 next #9)."""
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from rl_tpu.envs.llm import ChatEnv
+        from rl_tpu.modules.transformer import TransformerLM
+        from rl_tpu.objectives.llm import grpo_loss, mc_advantage
+
+        CHARS = "01+=$_"
+        P_LEN, R_LEN, V = 4, 2, 6
+
+        def enc(s):
+            return np.asarray([CHARS.index(c) for c in s], np.int32)
+
+        def env_prompt(rng):
+            a, b = int(rng.randint(2)), int(rng.randint(2))
+            return f"{a}+{b}="
+
+        def reward_fn(history, response):
+            # dense per-char reward so GRPO group advantages are nonzero
+            # even while the random-init model never matches exactly
+            p = next(m.content for m in history.messages if m.role == "user")
+            a, b = int(p[0]), int(p[2])
+            gold = f"{(a + b) % 2}$"
+            n = min(len(response), len(gold))
+            return float(np.mean([response[i] == gold[i]
+                                  for i in range(n)]) if n else 0.0)
+
+        lm = TransformerLM(vocab_size=V, n_layers=1, d_model=32)
+        key = jax.random.PRNGKey(0)
+        params = lm.init(key, jnp.zeros((1, P_LEN + R_LEN), jnp.int32))[
+            "params"]
+        state = {"params": params, "key": key}
+
+        def engine(history):
+            prompt = history.messages[-1].content
+            toks = jnp.asarray(enc(prompt))[None]
+            full = jnp.concatenate(
+                [toks, jnp.full((1, R_LEN), CHARS.index("_"), jnp.int32)], 1)
+            lps = np.zeros(R_LEN, np.float32)
+            for t in range(R_LEN):
+                logits = lm.apply({"params": state["params"]}, full)[
+                    :, P_LEN + t - 1]
+                state["key"], k = jax.random.split(state["key"])
+                nxt = jax.random.categorical(k, logits, -1)
+                lp = jax.nn.log_softmax(logits, -1)
+                lps[t] = float(lp[0, int(nxt[0])])
+                full = full.at[:, P_LEN + t].set(nxt)
+            resp = np.asarray(full[0, P_LEN:])
+            return "".join(CHARS[i] for i in resp), resp, lps
+
+        env = ChatEnv(env_prompt, reward_fn=reward_fn, max_turns=1, seed=0)
+        coll = LLMCollector(env, engine, max_tokens=R_LEN)
+        coll.on_weights = lambda p: state.update(params=p)
+        tx = optax.adam(1e-3)
+        opt = tx.init(params)
+
+        G, NP = 4, 4
+        seen_versions = []
+        for epoch in range(2):
+            groups = [coll.rollout_group(group_size=G) for _ in range(NP)]
+            steps = [s for g in groups for s in g]
+            seen_versions.extend(s["policy_version"] for s in steps)
+            prompts = [next(m.content for m in s["history"].messages
+                            if m.role == "user") for s in steps]
+            toks = jnp.asarray(np.stack(
+                [np.concatenate([enc(p), s["tokens"]])
+                 for p, s in zip(prompts, steps)]))
+            rew = jnp.asarray([s["reward"] for s in steps], jnp.float32)
+            mask = jnp.asarray(np.stack([s["attention_mask"] for s in steps]))
+            old_lp = jnp.asarray(np.stack([s["log_probs"] for s in steps]))
+            gid = jnp.repeat(jnp.arange(NP), G)
+            adv = mc_advantage(rew, gid, NP)
+
+            def lp_of(q):
+                logits = lm.apply({"params": q}, toks)
+                lp = jax.nn.log_softmax(logits, -1)
+                pos = jnp.arange(R_LEN) + P_LEN - 1
+                tgt = jax.lax.dynamic_slice_in_dim(toks, P_LEN, R_LEN, 1)
+                return jnp.take_along_axis(
+                    lp[:, pos, :], tgt[..., None], -1)[..., 0]
+
+            (l, m), grads = jax.value_and_grad(
+                lambda q: grpo_loss(lp_of(q), old_lp, adv, mask),
+                has_aux=True)(state["params"])
+            assert np.isfinite(float(l))
+            updates, opt = tx.update(grads, opt, state["params"])
+            new_params = optax.apply_updates(state["params"], updates)
+            coll.update_policy_weights_(new_params)
+
+        # epoch-0 rollouts stamped version 0, epoch-1 stamped version 1,
+        # and the engine really received the pushed weights
+        assert sorted(set(seen_versions)) == [0, 1], seen_versions
+        assert seen_versions[: NP * G] == [0] * NP * G
+        assert seen_versions[NP * G:] == [1] * NP * G
+        assert coll.policy_version == 2
+        changed = any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(jax.tree.leaves(params),
+                            jax.tree.leaves(state["params"])))
+        assert changed, "pushed weights never reached the engine"
+
