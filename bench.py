@@ -123,28 +123,30 @@ def build_ppo(env, obs_shape, *, num_envs, steps, channels, kernels,
     opt_state = tx.init(params)
     M = 4  # minibatches
 
+    def mb_step(params, opt_state, mbt):
+        (total, _), grads = jax.value_and_grad(
+            lambda p: loss_mod(p, mbt), has_aux=True
+        )(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
     def update_phase(params, opt_state, batch, k):
+        # Minibatching for ONE epoch over a FRESH on-policy batch: the
+        # fixed strided interleave (element j of minibatch i = flat[j*M+i])
+        # already spreads time/env structure evenly, so no shuffle is
+        # needed — the round-3 random roll materialized an extra copy of
+        # the full pixel buffer and cost 9 ms of the 45 ms update phase
+        # (measured on v5e).  Multi-epoch training (the real trainers)
+        # keeps the roll to re-partition between epochs.
+        # Minibatches are python-unrolled, not lax.scan: identical runtime
+        # (measured) and XLA's cost model counts a scan body only ONCE, so
+        # unrolling keeps the MFU accounting exact.
         flat = batch.apply(lambda x: x.reshape((-1,) + x.shape[2:]))
         n = flat["advantage"].shape[0]
-        # TPU-native minibatch shuffle: random roll (slices+concat) then a
-        # strided interleave — a permutation gather of the pixel batch
-        # costs ~40 ms/step on v5e; this is bitwise-cheap and equally
-        # well mixed (measured 1.7x end-to-end over the gather design).
-        shift = jax.random.randint(k, (), 0, n)
-        flat = flat.apply(lambda x: jnp.roll(x, shift, axis=0))
         flat = flat.apply(lambda x: x.reshape((n // M, M) + x.shape[1:]))
-
-        def mb(carry, i):
-            params, opt_state = carry
+        for i in range(M):
             mbt = flat.apply(lambda x: x[:, i])
-            (total, _), grads = jax.value_and_grad(
-                lambda p: loss_mod(p, mbt), has_aux=True
-            )(params)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            return (optax.apply_updates(params, updates), opt_state), total
-
-        (params, opt_state), _ = jax.lax.scan(
-            mb, (params, opt_state), jnp.arange(M))
+            params, opt_state = mb_step(params, opt_state, mbt)
         return params, opt_state
 
     def train_step(params, opt_state, cstate, k):
@@ -154,7 +156,8 @@ def build_ppo(env, obs_shape, *, num_envs, steps, channels, kernels,
         return params, opt_state, cstate, batch["next", "reward"].mean()
 
     return dict(collector=collector, params=params, opt_state=opt_state,
-                train_step=train_step, gae=gae, update_phase=update_phase)
+                train_step=train_step, gae=gae, update_phase=update_phase,
+                loss_mod=loss_mod, tx=tx)
 
 
 def bench_fused(built, *, num_envs, steps, iters=20, windows=3):
@@ -170,7 +173,6 @@ def bench_fused(built, *, num_envs, steps, iters=20, windows=3):
     # donate the loop state: an undonated jit boundary copies every
     # pass-through buffer (22 ms/call measured on a 1M-slot storage)
     step = jax.jit(built["train_step"], donate_argnums=(0, 1, 2))
-    flops = _xla_flops(step, params, opt_state, cstate, key)
     params, opt_state, cstate, r = step(params, opt_state, cstate, key)
     _sync(r)
     best_dt = float("inf")
@@ -182,8 +184,40 @@ def bench_fused(built, *, num_envs, steps, iters=20, windows=3):
         _sync(r)
         best_dt = min(best_dt, time.perf_counter() - t0)
     steps_per_s = iters * num_envs * steps / best_dt
+    flops = pipeline_flops(built, num_envs=num_envs, steps=steps)
     flops_per_s = (flops * iters / best_dt) if flops else None
     return steps_per_s, flops_per_s
+
+
+def pipeline_flops(built, *, num_envs, steps):
+    """Per-train-iteration FLOPs with loop bodies counted at their TRUE
+    trip counts.  XLA's cost model counts a scan/while body ONCE (verified:
+    an unrolled 4-minibatch update reports 4x the scanned one), so the
+    collect scan is probed at T=1 and multiplied by ``steps``, GAE is
+    counted directly, and the update phase is python-unrolled so the count
+    is already exact."""
+    from rl_tpu.collectors import Collector
+
+    try:
+        key = jax.random.PRNGKey(0)
+        coll = built["collector"]
+        coll1 = Collector(coll.env, coll.policy, frames_per_batch=num_envs)
+        f_step = _xla_flops(jax.jit(coll1._collect), built["params"],
+                            coll1.init(key))
+        collect_j = jax.jit(coll._collect)
+        cstate = coll.init(key)
+        _, batch = collect_j(built["params"], cstate)
+        gae_j = jax.jit(lambda p, b: built["gae"](p["critic"], b))
+        f_gae = _xla_flops(gae_j, built["params"], batch)
+        gb = gae_j(built["params"], batch)
+        f_upd = _xla_flops(jax.jit(built["update_phase"]), built["params"],
+                           built["opt_state"], gb, key)
+        if None in (f_step, f_gae, f_upd):
+            return None
+        return steps * f_step + f_gae + f_upd
+    except Exception as e:
+        print(f"[bench] WARN flop probe failed: {e!r}", file=sys.stderr)
+        return None
 
 
 def bench_phases(built, *, iters=10):
@@ -250,20 +284,43 @@ def build_ppo_shared(env, obs_shape, *, num_envs, steps, n_actions,
         return (td.set("action", a).set("sample_log_prob", lp_a)
                 .set("state_value", value))
 
+    def one_collect_step(params, env_state, td, k):
+        k1, k2 = jax.random.split(k)
+        td = policy_step(params, td, k1)
+        env_state, full, nxt = env.step_and_maybe_reset(env_state, td, k2)
+        return env_state, nxt, full
+
+    def mb_update(params, opt_state, mb):
+        def loss_fn(p):
+            logits, value = net.apply({"params": p}, mb["px"])
+            lp = jax.nn.log_softmax(logits, -1)
+            lpa = jnp.take_along_axis(lp, mb["a"][:, None], 1)[:, 0]
+            ratio = jnp.exp(lpa - mb["oldlp"])
+            l_pi = -jnp.minimum(ratio * mb["adv"],
+                                jnp.clip(ratio, 0.8, 1.2) * mb["adv"]).mean()
+            l_v = ((value[:, 0] - mb["vt"]) ** 2).mean()
+            ent = -(jnp.exp(lp) * lp).sum(-1).mean()
+            return l_pi + 0.5 * l_v - 0.01 * ent
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(g, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    def value_tail(params, next_px_flat):
+        _, next_v = net.apply({"params": params}, next_px_flat)
+        return next_v
+
     def train_step(params, opt_state, env_state, root, k):
         def body(carry, kk):
             env_state, td = carry
-            k1, k2 = jax.random.split(kk)
-            td = policy_step(params, td, k1)
-            env_state, full, nxt = env.step_and_maybe_reset(env_state, td, k2)
+            env_state, nxt, full = one_collect_step(params, env_state, td, kk)
             return (env_state, nxt), full
 
         ks = jax.random.split(k, steps + 2)
         (env_state, root), batch = jax.lax.scan(
             body, (env_state, root), ks[:steps])
-        _, next_v = net.apply(
-            {"params": params},
-            batch["next", "pixels"].reshape((-1,) + obs_shape))
+        next_v = value_tail(
+            params, batch["next", "pixels"].reshape((-1,) + obs_shape))
         next_v = next_v.reshape(steps, num_envs, 1)
         adv, vt = generalized_advantage_estimate(
             0.99, 0.95, batch["state_value"], next_v,
@@ -275,35 +332,19 @@ def build_ppo_shared(env, obs_shape, *, num_envs, steps, n_actions,
                     oldlp=batch["sample_log_prob"].reshape(-1),
                     adv=adv.reshape(-1), vt=vt.reshape(-1))
         n = flat["adv"].shape[0]
-        shift = jax.random.randint(ks[steps], (), 0, n)
-        flat = {kk: jnp.roll(v, shift, 0).reshape((n // M, M) + v.shape[1:])
+        # fixed strided interleave, python-unrolled minibatches — same
+        # rationale as build_ppo.update_phase (no shuffle needed for one
+        # epoch over fresh data; unrolling keeps FLOP counting exact)
+        flat = {kk: v.reshape((n // M, M) + v.shape[1:])
                 for kk, v in flat.items()}
-
-        def mb(carry, i):
-            params, opt_state = carry
-
-            def loss_fn(p):
-                logits, value = net.apply({"params": p}, flat["px"][:, i])
-                lp = jax.nn.log_softmax(logits, -1)
-                lpa = jnp.take_along_axis(lp, flat["a"][:, i][:, None], 1)[:, 0]
-                ratio = jnp.exp(lpa - flat["oldlp"][:, i])
-                adv_i = flat["adv"][:, i]
-                l_pi = -jnp.minimum(ratio * adv_i,
-                                    jnp.clip(ratio, 0.8, 1.2) * adv_i).mean()
-                l_v = ((value[:, 0] - flat["vt"][:, i]) ** 2).mean()
-                ent = -(jnp.exp(lp) * lp).sum(-1).mean()
-                return l_pi + 0.5 * l_v - 0.01 * ent
-
-            loss, g = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = tx.update(g, opt_state, params)
-            return (optax.apply_updates(params, updates), opt_state), loss
-
-        (params, opt_state), _ = jax.lax.scan(
-            mb, (params, opt_state), jnp.arange(M))
+        for i in range(M):
+            params, opt_state = mb_update(
+                params, opt_state, {kk: v[:, i] for kk, v in flat.items()})
         return params, opt_state, env_state, root, batch["next", "reward"].mean()
 
     return dict(env=env, params=params, opt_state=opt_state,
-                train_step=train_step)
+                train_step=train_step, one_collect_step=one_collect_step,
+                mb_update=mb_update, value_tail=value_tail)
 
 
 def bench_fused_shared(built, env, *, num_envs, steps, iters=10, windows=2):
@@ -313,7 +354,7 @@ def bench_fused_shared(built, env, *, num_envs, steps, iters=10, windows=2):
     params = jax.tree.map(jnp.copy, built["params"])
     opt_state = jax.tree.map(jnp.copy, built["opt_state"])
     step = jax.jit(built["train_step"], donate_argnums=(0, 1, 2, 3))
-    flops = _xla_flops(step, params, opt_state, env_state, root, key)
+    flops = pipeline_flops_shared(built, env, num_envs=num_envs, steps=steps)
     params, opt_state, env_state, root, r = step(params, opt_state,
                                                  env_state, root, key)
     _sync(r)
@@ -329,6 +370,39 @@ def bench_fused_shared(built, env, *, num_envs, steps, iters=10, windows=2):
     steps_per_s = iters * num_envs * steps / best_dt
     flops_per_s = (flops * iters / best_dt) if flops else None
     return steps_per_s, flops_per_s
+
+
+def pipeline_flops_shared(built, env, *, num_envs, steps, M=4):
+    """Shared-trunk analogue of :func:`pipeline_flops` — probe pieces are
+    lowered on ShapeDtypeStructs so no giant buffer is materialized."""
+    try:
+        key = jax.random.PRNGKey(0)
+        env_state, root = env.reset(key)
+        step1 = jax.jit(built["one_collect_step"])
+        f_step = _xla_flops(step1, built["params"], env_state, root, key)
+        _, _, full = step1(built["params"], env_state, root, key)
+        px = full["next", "pixels"]
+        n = steps * num_envs
+        px_spec = jax.ShapeDtypeStruct((n,) + px.shape[1:], px.dtype)
+        f_tail = _xla_flops(jax.jit(built["value_tail"]), built["params"],
+                            px_spec)
+        f32 = jnp.float32
+        mb_spec = dict(
+            px=jax.ShapeDtypeStruct((n // M,) + px.shape[1:], px.dtype),
+            a=jax.ShapeDtypeStruct((n // M,), jnp.int32),
+            oldlp=jax.ShapeDtypeStruct((n // M,), f32),
+            adv=jax.ShapeDtypeStruct((n // M,), f32),
+            vt=jax.ShapeDtypeStruct((n // M,), f32),
+        )
+        f_mb = _xla_flops(jax.jit(built["mb_update"]), built["params"],
+                          built["opt_state"], mb_spec)
+        if None in (f_step, f_tail, f_mb):
+            return None
+        return steps * f_step + f_tail + M * f_mb
+    except Exception as e:
+        print(f"[bench] WARN shared flop probe failed: {e!r}",
+              file=sys.stderr)
+        return None
 
 
 def make_pixel84_env(num_envs):
@@ -468,9 +542,26 @@ def bench_host_bridge(steps=300, num_envs=8, budget_s=240.0):
             print(f"[bench] WARN pipelined bridge failed: {e!r}",
                   file=sys.stderr)
 
+    # RTT first (a wedged bridge phase poisons later device ops in this
+    # process): on this container the TPU is behind a TCP tunnel with
+    # ~60 ms RTT, so ANY per-step bridge caps at ~num_envs/RTT regardless
+    # of design — co-located hardware has microsecond dispatch
+    try:
+        f = jax.jit(lambda x: x + 1.0)
+        _sync(f(jnp.zeros(())))
+        t0 = time.perf_counter()
+        for _ in range(5):
+            _sync(f(jnp.zeros(())))
+        out["device_roundtrip_ms"] = round(
+            (time.perf_counter() - t0) / 5 * 1e3, 1)
+    except Exception:
+        pass
+    # pipelined BEFORE serial: a wedged serial io_callback chain (known
+    # tunneled-backend failure mode) leaves its thread holding the backend
+    # and aborts whatever runs next
     guard("raw_pool", raw_pool, budget_s / 3)
-    guard("serial", serial, budget_s / 3)
     guard("pipelined", pipelined, budget_s / 3)
+    guard("serial", serial, budget_s / 3)
     if out["pipelined"] and out["serial"]:
         out["pipelined_over_serial"] = round(out["pipelined"] / out["serial"], 2)
     return out
@@ -550,7 +641,7 @@ def main() -> None:
         "pixel84_config": "84x84x4, Nature conv 32/64/64 bf16, 1024 envs",
         "matmul_calibration_tflops": round(cal / 1e12, 1),
         "matmul_calibration_frac_of_peak": round(cal / V5E_PEAK_BF16, 3),
-        "mfu_denominator": "v5e bf16 peak 197 TFLOP/s; FLOP counts from XLA cost_analysis of the full fused step",
+        "mfu_denominator": "v5e bf16 peak 197 TFLOP/s; FLOPs from XLA cost_analysis with loop bodies counted at true trip counts (collect probed at T=1 and scaled; update unrolled)",
         "host_bridge_env_steps_per_s": bridge,
     }), flush=True)
     # a wedged bridge thread must not hang interpreter shutdown
