@@ -86,6 +86,7 @@ class PromptFeed:
         import queue
 
         self.q: "queue.Queue[str]" = queue.Queue()
+        self.closed = False
 
     def put_round(self, rng, num_prompts, group_size):
         for _ in range(num_prompts):
@@ -95,7 +96,16 @@ class PromptFeed:
                 self.q.put(p)
 
     def __call__(self, rng):  # ChatEnv prompt_fn
-        return self.q.get()
+        # poll so a worker blocked here can observe shutdown — otherwise
+        # collector.async_shutdown's thread joins hang 10 s per worker
+        import queue
+
+        while True:
+            try:
+                return self.q.get(timeout=0.2)
+            except queue.Empty:
+                if self.closed:
+                    raise RuntimeError("prompt feed closed")
 
 
 def reward_fn(history, response: str) -> float:
@@ -265,12 +275,15 @@ def main(cfg=None):
             if it % 10 == 0 or it == cfg["iters"] - 1:
                 tps = tokens_out / (time.perf_counter() - t_start)
                 exact = float(np.mean([s["reward"] >= 1.0 for s in steps]))
-                kl = float(metrics["kl_approx"])
+                # kl_approx (new vs old) is trivially ~0 with one update
+                # per batch; the meaningful drift is KL to the frozen
+                # REFERENCE policy (the reference's KL metric)
+                kl = float(metrics.get("kl_to_ref", metrics["kl_approx"]))
                 if logger:
                     logger.log_scalar("train/reward", float(rewards.mean()),
                                       step=it)
                     logger.log_scalar("train/exact_match", exact, step=it)
-                    logger.log_scalar("train/kl_approx", kl, step=it)
+                    logger.log_scalar("train/kl_to_ref", kl, step=it)
                     logger.log_scalar("throughput/collector_tokens_per_s",
                                       tps, step=it)
                 print(f"iter {it}: reward={float(rewards.mean()):.3f} "
@@ -292,6 +305,7 @@ def main(cfg=None):
                     logger.log_scalar("eval/exact_match", acc, step=it)
                 print(f"  [eval] greedy exact-match {acc:.3f}", flush=True)
     finally:
+        feed.closed = True
         collector.async_shutdown()
         server.close()
         sync.close()
