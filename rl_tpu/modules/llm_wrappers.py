@@ -78,12 +78,29 @@ class TransformersWrapper:
         pad = self._pad_id()
         tokens = np.full((len(rows), L), pad, np.int64)
         mask = np.zeros((len(rows), L), bool)
+        attn = np.zeros((len(rows), L), np.int64)
         for i, (p, r) in enumerate(rows):
             tokens[i, : len(p) + len(r)] = p + r
             mask[i, len(p): len(p) + len(r)] = True
+            # match generate()'s inferred attention convention exactly:
+            # it masks pad ids WHEREVER they appear (including inside the
+            # prompt); response tokens always attend
+            attn[i, : len(p)] = (np.asarray(p) != pad).astype(np.int64)
+            attn[i, len(p): len(p) + len(r)] = 1
         t = torch.tensor(tokens)
         with torch.no_grad():
-            logits = self.model(t).logits  # [B, L, V]
+            # attention_mask matters: generate() infers one from
+            # pad_token_id, so rescoring without it attends to the ragged
+            # rows' padding and reports different log-probs than the
+            # behaviour pass (found driving a real HF GPT2 — the GRPO
+            # ratio would silently be off for every non-longest row)
+            # generate() also derives position_ids from the attention-mask
+            # cumsum, so masked prompt positions shift later tokens' rope/
+            # learned positions — reproduce that too
+            pos = np.maximum(np.cumsum(attn, axis=1) - 1, 0)
+            logits = self.model(
+                t, attention_mask=torch.tensor(attn),
+                position_ids=torch.tensor(pos)).logits  # [B, L, V]
         logp = torch.log_softmax(logits[:, :-1], dim=-1)
         tgt = t[:, 1:]
         token_logp = logp.gather(-1, tgt.unsqueeze(-1)).squeeze(-1)  # [B, L-1]
@@ -115,7 +132,12 @@ class TransformersWrapper:
             except Exception:
                 pass
         enc = self.tokenizer(history.render())
-        return list(enc["input_ids"] if isinstance(enc, dict) else enc)
+        # HF returns BatchEncoding (a UserDict, NOT a dict instance) —
+        # iterating it yields key strings; index it explicitly
+        try:
+            return list(enc["input_ids"])
+        except (TypeError, KeyError, IndexError):
+            return list(enc)
 
     def _pad_id(self) -> int:
         pid = getattr(self.tokenizer, "pad_token_id", None)
