@@ -17,3 +17,4 @@ __all__ = [
     "free_port",
     "global_batch",
 ]
+from .pipeline import pipeline_apply, pipeline_fn, stack_stage_params  # noqa: F401,E402

@@ -50,14 +50,21 @@ DEFAULTS = dict(
     iters=400, num_prompts=32, group_size=8, lr=1e-4, kl_coeff=0.01,
     clip_low=0.2, clip_high=0.2, temperature=1.0,
     d_model=320, n_layers=8, n_heads=8, num_workers=32,
+    task_digits=3,  # 2 = easier curriculum point (solves), 3 = hard
     eval_every=50, seed=0, logger="csv",
 )
 
 # char vocab: 0-9 digits, '+', '=', EOS '$', PAD '_'
 PLUS, EQ, EOS, PAD = 10, 11, 12, 13
 VOCAB = 14
-P_LEN, R_LEN = 8, 5  # "abc+def=" -> "ghij$" (zero-padded sum + EOS)
 CHARS = "0123456789+=$_"
+# task: D-digit addition, "a..b+c..d=" -> zero-padded (D+1)-digit sum + EOS
+P_LEN, R_LEN = 8, 5  # set from task_digits in main()
+
+
+def _set_task(d):
+    global P_LEN, R_LEN
+    P_LEN, R_LEN = 2 * d + 2, d + 2
 
 
 def encode(text: str) -> np.ndarray:
@@ -74,7 +81,7 @@ def digits(x: int, n: int) -> str:
 
 def gold_for(prompt: str) -> str:
     a, b = prompt[:-1].split("+")
-    return digits(int(a) + int(b), 4) + "$"
+    return digits(int(a) + int(b), len(a) + 1) + "$"
 
 
 class PromptFeed:
@@ -82,16 +89,18 @@ class PromptFeed:
     served ``group_size`` times so completions group naturally (the
     reference MCAdvantage prompt-queue semantics)."""
 
-    def __init__(self):
+    def __init__(self, ndigits=3):
         import queue
 
+        self.ndigits = int(ndigits)
         self.q: "queue.Queue[str]" = queue.Queue()
         self.closed = False
 
     def put_round(self, rng, num_prompts, group_size):
+        hi = 10 ** self.ndigits
         for _ in range(num_prompts):
-            a, b = int(rng.integers(1000)), int(rng.integers(1000))
-            p = f"{digits(a, 3)}+{digits(b, 3)}="
+            a, b = int(rng.integers(hi)), int(rng.integers(hi))
+            p = f"{digits(a, self.ndigits)}+{digits(b, self.ndigits)}="
             for _ in range(group_size):
                 self.q.put(p)
 
@@ -121,6 +130,7 @@ def reward_fn(history, response: str) -> float:
 
 def main(cfg=None):
     cfg = {**DEFAULTS, **(cfg or {})}
+    _set_task(int(cfg["task_digits"]))
     key = jax.random.PRNGKey(cfg["seed"])
     lm = TransformerLM(vocab_size=VOCAB, n_layers=cfg["n_layers"],
                        d_model=cfg["d_model"], n_heads=cfg["n_heads"],
@@ -176,7 +186,7 @@ def main(cfg=None):
         resp, lps = server.query(encode(prompt))
         return decode(resp), np.asarray(resp), np.asarray(lps)
 
-    feed = PromptFeed()
+    feed = PromptFeed(cfg["task_digits"])
 
     def env_factory():
         return ChatEnv(feed, reward_fn=reward_fn, max_turns=1,
@@ -292,13 +302,14 @@ def main(cfg=None):
                       f"version={collector.policy_version}", flush=True)
             if cfg["eval_every"] and (it % cfg["eval_every"] == 0
                                       or it == cfg["iters"] - 1):
-                a = rng.integers(1000, size=256)
-                b = rng.integers(1000, size=256)
+                nd = int(cfg["task_digits"])
+                a = rng.integers(10 ** nd, size=256)
+                b = rng.integers(10 ** nd, size=256)
                 ep = jnp.asarray(np.stack([
-                    encode(f"{digits(x, 3)}+{digits(y, 3)}=")
+                    encode(f"{digits(x, nd)}+{digits(y, nd)}=")
                     for x, y in zip(a, b)]))
                 eg = jnp.asarray(np.stack([
-                    encode(digits(x + y, 4) + "$")
+                    encode(digits(x + y, nd + 1) + "$")
                     for x, y in zip(a, b)]))
                 acc = float(greedy_eval(params, ep, eg))
                 if logger:
