@@ -320,6 +320,14 @@ def main(cfg=None):
         collector.async_shutdown()
         server.close()
         sync.close()
+    if cfg["logger"] == "csv" and logger is not None:
+        # flat npz snapshot (leaf order = tree order) so long runs can be
+        # extended without retraining from scratch
+        import os
+
+        np.savez(os.path.join(logger.root, "params_final.npz"),
+                 **{str(i): np.asarray(v)
+                    for i, v in enumerate(jax.tree.leaves(params))})
     return params
 
 
