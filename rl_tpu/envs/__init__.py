@@ -5,6 +5,7 @@ from .classic import (
     PendulumEnv,
     MountainCarEnv,
     ContinuousMountainCarEnv,
+    ReacherEnv,
 )
 from .wrappers import FrameSkipEnv, NoopResetEnv
 from .env_creator import EnvCreator, env_creator
@@ -29,6 +30,7 @@ __all__ = [
     "CartPoleEnv",
     "PendulumEnv",
     "MountainCarEnv",
+    "ReacherEnv",
     "ContinuousMountainCarEnv",
     "FrameSkipEnv",
     "NoopResetEnv",

@@ -2,6 +2,7 @@ from .cartpole import CartPoleEnv
 from .pendulum import PendulumEnv
 from .mountain_car import MountainCarEnv, ContinuousMountainCarEnv
 from .acrobot import AcrobotEnv
+from .reacher import ReacherEnv
 
 __all__ = [
     "CartPoleEnv",
@@ -9,4 +10,5 @@ __all__ = [
     "MountainCarEnv",
     "ContinuousMountainCarEnv",
     "AcrobotEnv",
+    "ReacherEnv",
 ]

@@ -1,6 +1,7 @@
 """Native custom envs: tic-tac-toe, trading, LLM hashing, chess gating."""
 import jax
 import jax.numpy as jnp
+import numpy as np
 import pytest
 
 from rl_tpu.data import TDict
@@ -141,3 +142,68 @@ class TestChessGating:
             pass
         with pytest.raises(ImportError, match="chess"):
             ChessEnv()
+
+
+class TestReacher:
+    def test_spec_contract(self, key):
+        from rl_tpu.envs import ReacherEnv
+        from rl_tpu.envs.base import check_env_specs
+
+        check_env_specs(ReacherEnv(), key)
+
+    def test_physics_sane(self, key):
+        import jax
+
+        from rl_tpu.envs import ReacherEnv
+
+        env = ReacherEnv()
+        state, td = env.reset(key)
+        # zero torque from rest: fingertip barely moves (no gravity)
+        tip0 = np.asarray(env._fingertip(state["q"]))
+        for i in range(10):
+            td = td.set("action", jnp.zeros(2))
+            state, out = env.step(state, td, jax.random.fold_in(key, i))
+            td = out["next"] if "next" in out else out
+            td = out["next"]
+        tip = np.asarray(env._fingertip(state["q"]))
+        assert np.linalg.norm(tip - tip0) < 1e-2
+        # constant torque accelerates joint 0
+        state, td0 = env.reset(key)
+        for i in range(10):
+            td0 = td0.set("action", jnp.asarray([1.0, 0.0]))
+            state, out = env.step(state, td0, jax.random.fold_in(key, i))
+            td0 = out["next"]
+        assert abs(float(state["qd"][0])) > 0.5
+
+    def test_truncates_at_horizon(self, key):
+        import jax
+
+        from rl_tpu.envs import BatchedEnv, ReacherEnv
+
+        env = BatchedEnv(ReacherEnv(max_episode_steps=10), 3)
+        _, ys, _ = env.rollout(25, key=key)
+        d = np.asarray(ys["next", "truncated"])  # [T, B, 1]
+        assert d[9].all() and d[19].all()
+        assert not d[5].any()
+
+    def test_target_varies_and_reward_tracks_distance(self, key):
+        import jax
+
+        from rl_tpu.envs import ReacherEnv
+
+        env = ReacherEnv()
+        t1 = env.reset(jax.random.PRNGKey(1))[0]["target"]
+        t2 = env.reset(jax.random.PRNGKey(2))[0]["target"]
+        assert not np.allclose(np.asarray(t1), np.asarray(t2))
+        # targets stay within reach
+        for s in range(10):
+            st = env.reset(jax.random.PRNGKey(s))[0]
+            assert float(jnp.linalg.norm(st["target"])) <= env.TARGET_R + 1e-6
+        # reward is -(distance) - ctrl cost
+        state, td = env.reset(key)
+        td = td.set("action", jnp.zeros(2))
+        state, out = env.step(state, td, key)
+        dist = float(jnp.linalg.norm(
+            env._fingertip(state["q"]) - state["target"]))
+        np.testing.assert_allclose(float(out["next", "reward"][0]), -dist,
+                                   rtol=1e-5)
