@@ -115,9 +115,17 @@ def build_ppo(env, obs_shape, *, num_envs, steps, channels, kernels,
     key = jax.random.PRNGKey(0)
     td0 = TDict(**{pixel_key: jnp.zeros((1,) + obs_shape)})
     params = TDict(actor=actor.init(key, td0), critic=critic.init(key, td0))
-    collector = Collector(env, lambda p, td, k: actor(p["actor"], td, key=k),
-                          frames_per_batch=num_envs * steps)
-    gae = GAE(0.99, 0.95, critic, average_gae=True)
+
+    # the policy also writes V(s_t) during collection so GAE can run in
+    # `shifted` mode (reference advantages.py:1883): V(s_{t+1}) comes from
+    # shifting the stored values + ONE critic call on the final next
+    # state, replacing a full second critic pass over the batch
+    def policy(p, td, k):
+        td = actor(p["actor"], td, key=k)
+        return critic(p["critic"], td)
+
+    collector = Collector(env, policy, frames_per_batch=num_envs * steps)
+    gae = GAE(0.99, 0.95, critic, average_gae=True, shifted=True)
     loss_mod = ClipPPOLoss(actor, critic)
     tx = optax.adam(3e-4)
     opt_state = tx.init(params)

@@ -120,14 +120,37 @@ class GAE(ValueEstimatorBase):
     """
 
     def __init__(self, gamma, lmbda: float = 0.95, value_network=None, *,
-                 average_gae: bool = False, vectorized: bool = True, **kw):
+                 average_gae: bool = False, vectorized: bool = True,
+                 shifted: bool = False, **kw):
         super().__init__(gamma, value_network, **kw)
         self.lmbda = float(lmbda)
         self.average_gae = average_gae
         self.vectorized = vectorized
+        # reference `shifted` mode (advantages.py:1883): when the collector
+        # already wrote V(s_t) per step, derive V(s_{t+1}) by shifting
+        # instead of a second full critic pass — one critic call on the
+        # final next-state only.  At auto-reset rows the shifted value is
+        # the RESET state's (as in the reference); `terminated` gates the
+        # bootstrap there, so only mid-batch truncations see the
+        # approximation.
+        self.shifted = shifted
+
+    def _values_shifted(self, params, td):
+        v = jnp.asarray(td[self.value_key])
+        last_next = td["next"].apply(lambda x: x[-1])
+        v_last = self.value_network(params, last_next)[self.value_key]
+        v_next = jnp.concatenate([v[1:], v_last[None]], axis=0)
+        if not self.differentiable:
+            v = jax.lax.stop_gradient(v)
+            v_next = jax.lax.stop_gradient(v_next)
+        return v, v_next
 
     def estimate(self, params, td):
-        v, v_next = self._values(params, td)
+        if (self.shifted and self.value_network is not None
+                and self.value_key in td):
+            v, v_next = self._values_shifted(params, td)
+        else:
+            v, v_next = self._values(params, td)
         reward, done, terminated = self._flags(td)
         adv, target = F.generalized_advantage_estimate(
             self.gamma, self.lmbda, v, v_next, reward, done, terminated,

@@ -188,3 +188,63 @@ class TestEstimatorClasses:
         est = GAE(0.99, 0.95, vnet)
         out = jax.jit(est.__call__)(params, td)
         assert "advantage" in out
+
+
+class TestShiftedGAE:
+    def test_shifted_equals_full_when_terminated(self, key):
+        """Reference `shifted` mode: with collector-written V(s_t), GAE
+        derives V(s_{t+1}) by shifting + ONE critic call on the final
+        next state.  Where done==terminated the bootstrap gate makes it
+        EXACTLY equal to the two-pass computation."""
+        import jax
+
+        from rl_tpu.modules import MLP, TDModule, ValueOperator
+
+        T, B, D = 12, 4, 5
+        critic = ValueOperator(MLP(out_features=1, num_cells=(16,)))
+        ks = jax.random.split(key, 5)
+        obs = jax.random.normal(ks[0], (T, B, D))
+        term = jax.random.bernoulli(ks[1], 0.2, (T, B, 1))
+        # next_obs: where terminated it's a distinct terminal frame; the
+        # following row's obs is the reset frame (collector convention)
+        next_obs = jnp.concatenate([obs[1:], jax.random.normal(ks[2], (1, B, D))])
+        next_obs = jnp.where(term, jax.random.normal(ks[3], (T, B, 1, 1))[..., 0], next_obs)
+        td = TDict(
+            observation=obs,
+            next={
+                "observation": next_obs,
+                "reward": jax.random.normal(ks[4], (T, B, 1)),
+                "done": term,
+                "terminated": term,
+            },
+        )
+        params = critic.init(key, TDict(observation=jnp.zeros((1, D))))
+        full = GAE(0.99, 0.95, critic)
+        adv_full, vt_full = full.estimate(params, td)
+
+        # collector-written values
+        v = critic(params, td)["state_value"]
+        td_s = td.set("state_value", v)
+        shifted = GAE(0.99, 0.95, critic, shifted=True)
+        adv_s, vt_s = shifted.estimate(params, td_s)
+        np.testing.assert_allclose(np.asarray(adv_s), np.asarray(adv_full),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(vt_s), np.asarray(vt_full),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_shifted_falls_back_without_values(self, key):
+        from rl_tpu.modules import MLP, ValueOperator
+
+        critic = ValueOperator(MLP(out_features=1, num_cells=(8,)))
+        T, B, D = 4, 2, 3
+        td = TDict(
+            observation=jnp.zeros((T, B, D)),
+            next={"observation": jnp.zeros((T, B, D)),
+                  "reward": jnp.zeros((T, B, 1)),
+                  "done": jnp.zeros((T, B, 1), bool),
+                  "terminated": jnp.zeros((T, B, 1), bool)},
+        )
+        params = critic.init(key, TDict(observation=jnp.zeros((1, D))))
+        est = GAE(0.99, 0.95, critic, shifted=True)
+        adv, vt = est.estimate(params, td)  # no stored values -> full path
+        assert adv.shape == (T, B, 1)
