@@ -327,9 +327,12 @@ def build_ppo_shared(env, obs_shape, *, num_envs, steps, n_actions,
         ks = jax.random.split(k, steps + 2)
         (env_state, root), batch = jax.lax.scan(
             body, (env_state, root), ks[:steps])
-        next_v = value_tail(
-            params, batch["next", "pixels"].reshape((-1,) + obs_shape))
-        next_v = next_v.reshape(steps, num_envs, 1)
+        # shifted next-values: the collect scan already wrote V(s_t);
+        # only the FINAL next frame needs a fresh forward (same trick as
+        # GAE(shifted=True); terminated gates the boundary rows)
+        v_last = value_tail(params, batch["next", "pixels"][-1])
+        next_v = jnp.concatenate(
+            [batch["state_value"][1:], v_last[None]], axis=0)
         adv, vt = generalized_advantage_estimate(
             0.99, 0.95, batch["state_value"], next_v,
             batch["next", "reward"], batch["next", "done"],
@@ -391,7 +394,8 @@ def pipeline_flops_shared(built, env, *, num_envs, steps, M=4):
         _, _, full = step1(built["params"], env_state, root, key)
         px = full["next", "pixels"]
         n = steps * num_envs
-        px_spec = jax.ShapeDtypeStruct((n,) + px.shape[1:], px.dtype)
+        # shifted next-values: the tail forward runs on the FINAL frame only
+        px_spec = jax.ShapeDtypeStruct(px.shape, px.dtype)
         f_tail = _xla_flops(jax.jit(built["value_tail"]), built["params"],
                             px_spec)
         f32 = jnp.float32
