@@ -35,7 +35,8 @@ class MarlPPOTrainer(PPOTrainer):
         self._variant = variant
         super().__init__(*args, **kwargs)
 
-    def _make_loss(self, actor, critic, *, clip_epsilon, entropy_coeff):
+    def _make_loss(self, actor, critic, *, clip_epsilon, entropy_coeff,
+                   **kw):
         cls = MAPPOLoss if self._variant == "mappo" else IPPOLoss
         return cls(actor, critic, clip_epsilon=clip_epsilon,
                    entropy_coeff=entropy_coeff)
