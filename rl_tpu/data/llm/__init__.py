@@ -1,4 +1,4 @@
-from .history import History, Message
+from .history import ContentBlock, History, Message
 from .topk import TopKRewardSelector
 
-__all__ = ["History", "Message", "TopKRewardSelector"]
+__all__ = ["ContentBlock", "History", "Message", "TopKRewardSelector"]

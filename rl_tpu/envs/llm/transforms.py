@@ -13,6 +13,7 @@ loss (GRPO already consumes ``ref_log_prob`` — see
 from __future__ import annotations
 
 import contextlib
+import dataclasses
 import io
 import re
 import uuid
@@ -25,6 +26,8 @@ from rl_tpu.data.llm.history import History
 __all__ = [
     "KLRewardTransform", "RetrieveKL", "PolicyVersion",
     "PythonInterpreterTransform", "BrowserTransform",
+    "AddThinkingPrompt", "TemplateTransform", "DataLoadingPrimer",
+    "ToolTransform",
 ]
 
 
@@ -224,3 +227,258 @@ class BrowserTransform:
         urls = [u.strip() for b in blocks for u in b.splitlines() if u.strip()]
         results = [self.fetch(u) for u in urls]
         return history.append("tool", "\n".join(results))
+
+
+class AddThinkingPrompt:
+    """Nudge the model to reconsider a (low-reward) response by injecting a
+    "think again" prompt and continuing the conversation (reference
+    ``AddThinkingPrompt``, envs/llm/transforms/reason.py:20).
+
+    Operates on the host batch dict after a step::
+
+        batch = AddThinkingPrompt(cond=lambda b: b["reward"] < 0.5)(batch)
+
+    where ``batch`` has ``history`` (:class:`History`), ``reward`` and
+    ``done``.  When ``cond(batch)`` is true:
+
+    - ``edit_last_turn=True`` (with ``role="assistant"``): the last assistant
+      message's ``<answer>...</answer>`` is replaced by the thinking prompt,
+      so the model resumes mid-thought on the next turn.
+    - ``edit_last_turn=False``: the prompt is appended as a new message under
+      ``role`` ("user" nudges read as coach feedback, "assistant" as
+      self-talk).
+    - ``zero_reward`` (default: ``edit_last_turn``) zeroes the reward — the
+      graded answer no longer exists in the history.
+    - ``undo_done=True`` clears ``done`` so the rollout continues.
+    """
+
+    PROMPTS_SELF = (
+        "Hold on — I should re-examine that reasoning before answering...",
+        "Wait, let me re-derive this step by step...",
+        "Hmm, that may be wrong. Re-checking each step...",
+        "Let me reconsider; I might have slipped somewhere...",
+    )
+    PROMPTS_COACH = (
+        "Hold on — re-examine that reasoning before answering.",
+        "That may be wrong. Re-check each step carefully.",
+        "Try again, thinking through it step by step.",
+    )
+
+    def __init__(self, cond: Callable[[dict], bool], *,
+                 prompt: str | None = None, random_prompt: bool = False,
+                 role: str = "assistant", edit_last_turn: bool = True,
+                 zero_reward: bool | None = None, undo_done: bool = True,
+                 seed: int = 0):
+        if role not in ("user", "assistant"):
+            raise ValueError("role must be 'user' or 'assistant'")
+        if edit_last_turn and role != "assistant":
+            raise ValueError("edit_last_turn requires role='assistant'")
+        self.cond = cond
+        self._prompt = prompt
+        self.random_prompt = random_prompt
+        self.role = role
+        self.edit_last_turn = edit_last_turn
+        self.zero_reward = edit_last_turn if zero_reward is None else zero_reward
+        self.undo_done = undo_done
+        self._rng = np.random.RandomState(seed)
+
+    @property
+    def prompt(self) -> str:
+        if self._prompt is not None and not self.random_prompt:
+            return self._prompt
+        pool = (self.PROMPTS_SELF if self.role == "assistant"
+                else self.PROMPTS_COACH)
+        if self.random_prompt:
+            return pool[int(self._rng.randint(len(pool)))]
+        return pool[0]
+
+    _ANSWER_SPAN = re.compile(r"<answer>.*?</answer>", re.DOTALL)
+
+    def _strip_answer(self, content: str) -> str:
+        """Drop the answer span (and a trailing eos marker) and splice the
+        thinking prompt where it was."""
+        content = re.sub(r"<\|im_end\|>\s*$", "", content)
+        if self._ANSWER_SPAN.search(content):
+            content = self._ANSWER_SPAN.sub("", content).rstrip()
+        return (content + "\n" + self.prompt).lstrip()
+
+    def __call__(self, batch: dict) -> dict:
+        if not self.cond(batch):
+            return batch
+        batch = dict(batch)
+        history: History = batch["history"]
+        if (self.edit_last_turn and history.messages
+                and history.messages[-1].role == "assistant"):
+            last = history.messages[-1]
+            edited = dataclasses.replace(
+                last, content=self._strip_answer(last.content))
+            history = History(history.messages[:-1] + (edited,))
+        else:
+            history = history.append(self.role, self.prompt)
+        batch["history"] = history
+        if self.zero_reward and "reward" in batch:
+            batch["reward"] = np.zeros_like(np.asarray(batch["reward"], np.float32))
+        if self.undo_done and "done" in batch:
+            batch["done"] = np.zeros_like(np.asarray(batch["done"], bool))
+        return batch
+
+
+class TemplateTransform:
+    """Render a :class:`History` to engine-ready text and parse the engine's
+    raw completion back (reference ``TemplateTransform``,
+    envs/llm/transforms/format.py:18).
+
+    Forward: ``render(history) -> str`` via the tokenizer's chat template
+    when available (``apply_chat_template(..., tokenize=False)``), else the
+    History's chatml renderer.  Inverse: ``parse(raw) -> str`` strips the
+    generation scaffold (leading role header, trailing eos/im_end) so the
+    stored assistant message is clean text.
+    """
+
+    def __init__(self, tokenizer=None, *, eos_tokens: Sequence[str] =
+                 ("<|im_end|>", "</s>", "<|endoftext|>")):
+        self.tokenizer = tokenizer
+        self.eos_tokens = tuple(eos_tokens)
+
+    def render(self, history: History, *, add_generation_prompt: bool = True) -> str:
+        tok = self.tokenizer
+        if tok is not None and hasattr(tok, "apply_chat_template"):
+            try:
+                return tok.apply_chat_template(
+                    history.to_chats(), tokenize=False,
+                    add_generation_prompt=add_generation_prompt)
+            except (TypeError, ValueError):
+                pass  # tokenizer without a text-mode template: chatml below
+        return history.render(add_generation_prompt)
+
+    def parse(self, raw: str) -> str:
+        text = raw
+        m = re.match(r"\s*<\|im_start\|>assistant\n", text)
+        if m:
+            text = text[m.end():]
+        for eos in self.eos_tokens:
+            idx = text.find(eos)
+            if idx >= 0:
+                text = text[:idx]
+        eos = getattr(self.tokenizer, "eos_token", None)
+        if eos:
+            text = text.split(eos)[0]
+        return text.strip()
+
+    __call__ = render
+
+
+class DataLoadingPrimer:
+    """Feed prompts (or any per-reset fields) from a dataloader into env
+    resets (reference ``DataLoadingPrimer``, envs/llm/transforms/
+    dataloading.py — the transform that turns a dataset iterator into reset
+    data).
+
+    ``dataloader`` is any iterable of dicts (or a factory returning one).
+    Draws cycle endlessly: when the iterator is exhausted a fresh one is made
+    (via the factory, or ``iter()`` over the same sequence).  ``repeats=k``
+    serves each underlying sample ``k`` consecutive times — the GRPO
+    group-sampling pattern where one prompt yields a group of completions
+    (reference `repeats` arg; pairs with
+    :class:`rl_tpu.objectives.llm.MCAdvantage`).
+
+    Use standalone (``primer.draw()``) or as the prompt source of a
+    :class:`rl_tpu.envs.llm.ChatEnv` (``ChatEnv(primer.prompt_fn())``).
+    """
+
+    def __init__(self, dataloader, *, repeats: int = 1,
+                 prompt_key: str = "query"):
+        if repeats < 1:
+            raise ValueError("repeats must be >= 1")
+        self._source = dataloader
+        self.repeats = int(repeats)
+        self.prompt_key = prompt_key
+        self._it = None
+        self._pending: list[dict] = []
+        self._epoch = 0
+
+    def _make_iter(self):
+        src = self._source() if callable(self._source) else self._source
+        return iter(src)
+
+    def reset_dataloader(self) -> None:
+        self._it = None
+        self._pending.clear()
+
+    def draw(self) -> dict:
+        """Next sample dict (each served ``repeats`` times in a row)."""
+        if self._pending:
+            return self._pending.pop()
+        if self._it is None:
+            self._it = self._make_iter()
+        try:
+            sample = next(self._it)
+        except StopIteration:
+            self._epoch += 1
+            self._it = self._make_iter()
+            sample = next(self._it)  # empty dataloader raises loudly here
+        sample = dict(sample)
+        self._pending = [dict(sample) for _ in range(self.repeats - 1)]
+        return sample
+
+    def prompt_fn(self) -> Callable:
+        """Adapter: ``ChatEnv(prompts=primer.prompt_fn())``; the full sample
+        of the latest draw stays available as ``primer.last_sample``."""
+        def _draw(rng) -> str:
+            self.last_sample = self.draw()
+            return str(self.last_sample[self.prompt_key])
+        return _draw
+
+
+class ToolTransform:
+    """Generic named-tool execution over fenced JSON calls (reference
+    ``MCPToolTransform``, envs/llm/transforms/tools.py — the registry-of-
+    callables form of tool use; the python/browser transforms above are the
+    specialized forms).
+
+    Tools are ``{name: callable(**kwargs) -> Any}``.  The assistant invokes
+    them with fenced blocks::
+
+        ```tool
+        {"name": "lookup", "arguments": {"key": "x"}}
+        ```
+
+    Each call's result (or error text — errors go back to the model, never
+    raise) is appended as one ``tool`` message.  Non-JSON or unknown-tool
+    blocks produce an error message in-band, matching the reference posture.
+    """
+
+    _FENCE = re.compile(r"```tool\n(.*?)```", re.DOTALL)
+
+    def __init__(self, tools: dict[str, Callable], *,
+                 max_output_chars: int = 4000):
+        self.tools = dict(tools)
+        self.max_output_chars = int(max_output_chars)
+
+    def execute(self, block: str) -> str:
+        import json
+
+        try:
+            call = json.loads(block)
+            name = call["name"]
+        except (ValueError, TypeError, KeyError) as e:
+            return f"error: malformed tool call ({type(e).__name__}: {e})"
+        fn = self.tools.get(name)
+        if fn is None:
+            return (f"error: unknown tool {name!r}; available: "
+                    f"{sorted(self.tools)}")
+        try:
+            result = fn(**call.get("arguments", {}))
+        except Exception as e:  # noqa: BLE001 - error text goes to model
+            return f"error: {type(e).__name__}: {e}"
+        return str(result)[: self.max_output_chars]
+
+    def __call__(self, history: History) -> History:
+        if not history.messages or history.messages[-1].role != "assistant":
+            return history
+        blocks = self._FENCE.findall(history.messages[-1].content)
+        if not blocks:
+            return history
+        for block in blocks:
+            history = history.append("tool", self.execute(block))
+        return history
