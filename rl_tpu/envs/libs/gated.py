@@ -13,7 +13,7 @@ __all__ = ["BraxWrapper", "JumanjiWrapper", "VmasWrapper", "SMACv2Wrapper",
            "MeltingpotWrapper", "OpenSpielWrapper", "IsaacGymWrapper",
            "IsaacLabWrapper", "UnityMLAgentsWrapper", "HabitatWrapper",
            "RoboHiveWrapper", "EnvPoolWrapper", "ProcgenWrapper",
-           "SafetyGymnasiumWrapper", "LiberoWrapper", "GenesisWrapper"]
+           "SafetyGymnasiumWrapper", "LiberoWrapper", "GenesisWrapper", "MLGymWrapper"]
 
 
 class _GatedLib:
@@ -63,3 +63,6 @@ SafetyGymnasiumWrapper = _gated("SafetyGymnasiumWrapper",
                                 "safety_gymnasium.py")
 LiberoWrapper = _gated("LiberoWrapper", "libero", "ToyVLAEnv", "libero.py")
 GenesisWrapper = _gated("GenesisWrapper", "genesis", "GymEnv", "genesis.py")
+MLGymWrapper = _gated("MLGymWrapper", "mlgym",
+                      "ChatEnv + ToolTransform/PythonInterpreterTransform",
+                      "../llm/libs/mlgym.py")

@@ -27,7 +27,7 @@ __all__ = [
     "KLRewardTransform", "RetrieveKL", "PolicyVersion",
     "PythonInterpreterTransform", "BrowserTransform",
     "AddThinkingPrompt", "TemplateTransform", "DataLoadingPrimer",
-    "ToolTransform",
+    "ToolTransform", "RetrieveLogProb", "KLComputation",
 ]
 
 
@@ -482,3 +482,70 @@ class ToolTransform:
         for block in blocks:
             history = history.append("tool", self.execute(block))
         return history
+
+
+class RetrieveLogProb:
+    """Score a batch's token sequences under a (reference) model and stash
+    the per-token log-probs (reference ``RetrieveLogProb``,
+    envs/llm/transforms/kl.py:561 — the composable piece that
+    ``RetrieveKL`` builds from twice: once for the generating model, once
+    for the reference model).
+
+    ``model``: callable ``(tokens) -> per-token log-probs`` (full-sequence;
+    e.g. ``TransformersWrapper.log_probs_batch``).  When
+    ``response_mask_key`` is present in the batch, prompt positions are
+    zeroed so downstream KL terms only count assistant tokens (the
+    reference's assistant-token masking).
+    """
+
+    def __init__(self, model: Callable, *, out_key: str = "ref_log_prob",
+                 tokens_key: str = "tokens",
+                 response_mask_key: str = "response_mask"):
+        self.model = model
+        self.out_key = out_key
+        self.tokens_key = tokens_key
+        self.response_mask_key = response_mask_key
+
+    def __call__(self, batch: dict) -> dict:
+        batch = dict(batch)
+        lp = np.asarray(self.model(batch[self.tokens_key]), np.float32)
+        mask = batch.get(self.response_mask_key)
+        if mask is not None:
+            lp = lp * np.asarray(mask, np.float32)
+        batch[self.out_key] = lp
+        return batch
+
+
+class KLComputation:
+    """Combine two stored log-prob fields into a KL estimate and (optionally)
+    a shaped reward (reference ``KLComputation``, envs/llm/transforms/
+    kl.py:1369 — the terminal stage of the modern ``RetrieveKL`` pipeline).
+
+    Unlike :class:`RetrieveKL` (which scores the reference model itself),
+    this is pure arithmetic over keys already in the batch — so it can sit
+    after any pair of :class:`RetrieveLogProb` stages, or after a collector
+    that recorded behaviour log-probs.  ``coef`` is a plain attribute so a
+    trainer hook can anneal it mid-run.
+    """
+
+    def __init__(self, *, gen_key: str = "log_probs",
+                 ref_key: str = "ref_log_prob", kl_key: str = "kl_penalty",
+                 reward_key: str | None = "reward", coef: float = 1.0,
+                 estimator: str = "k3"):
+        self.gen_key = gen_key
+        self.ref_key = ref_key
+        self.kl_key = kl_key
+        self.reward_key = reward_key
+        self.coef = float(coef)
+        self.estimator = estimator
+
+    def __call__(self, batch: dict) -> dict:
+        batch = dict(batch)
+        kl = _token_kl(batch[self.gen_key], batch[self.ref_key],
+                       kind=self.estimator)
+        batch[self.kl_key] = kl
+        if self.reward_key is not None and self.coef:
+            reward = np.asarray(batch.get(self.reward_key, 0.0), np.float32)
+            penalty = kl.sum(-1) if reward.ndim < kl.ndim else kl
+            batch[self.reward_key] = reward - self.coef * penalty
+        return batch

@@ -1,0 +1,169 @@
+"""GRPO on the Countdown numbers game.
+
+Counterpart of the reference Countdown GRPO recipe
+(``/root/reference/sota-implementations/grpo/`` with
+``CountdownEnv`` — envs/llm/datasets/countdown.py:81 — as the quick
+procedural task): a char-tokenized ``TransformerLM`` engine proposes
+arithmetic expressions, :class:`rl_tpu.envs.llm.CountdownEnv`'s scorer
+grades them (<answer> tag protocol, each number used at most once), and the
+GRPO group update trains the proposer.
+
+On top of the scorer's 0.1/1.0 format/correct reward the script adds a
+dense closeness shaping ``exp(-|value-target| / target)`` so a from-scratch
+char model has gradient signal before its first exact hit (training-side
+shaping only; ``success`` stays the scorer's exact criterion).
+
+Run::
+
+    python sota/grpo_countdown.py [iters=300] [num_count=3]
+"""
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from rl_tpu.config import apply_overrides
+from rl_tpu.envs.llm import CountdownEnv, CountdownScorer
+from rl_tpu.modules.transformer import TransformerLM
+from rl_tpu.objectives.llm import grpo_loss, mc_advantage
+from rl_tpu.record import CSVLogger, generate_exp_name
+
+DEFAULTS = dict(
+    iters=300, num_prompts=8, group_size=8, lr=3e-4,
+    clip_low=0.2, clip_high=0.2, kl_coeff=0.005, temperature=1.0,
+    num_count=3, max_number=9, seed=0,
+)
+
+# char vocab over the countdown alphabet
+CHARS = "0123456789+-*/()>,=$_"  # '$'=EOS, '_'=PAD, '>'/','/'=' prompt glue
+EOS, PAD = CHARS.index("$"), CHARS.index("_")
+VOCAB = len(CHARS)
+P_LEN, R_LEN = 12, 8  # "a,b,c>ttt=" padded -> expression + EOS
+
+
+def encode(text: str, length: int) -> np.ndarray:
+    ids = [CHARS.index(c) for c in text][:length]
+    return np.asarray(ids + [PAD] * (length - len(ids)), np.int32)
+
+
+def decode(ids) -> str:
+    out = []
+    for i in np.asarray(ids).reshape(-1):
+        c = CHARS[int(i)]
+        if c == "$":
+            break
+        if c != "_":
+            out.append(c)
+    return "".join(out)
+
+
+def prompt_text(numbers, target) -> str:
+    return ",".join(str(n) for n in numbers) + ">" + str(target) + "="
+
+
+def main(cfg=None):
+    cfg = {**DEFAULTS, **(cfg or {})}
+    key = jax.random.PRNGKey(cfg["seed"])
+    lm = TransformerLM(vocab_size=VOCAB, n_layers=2, d_model=96)
+    params = lm.init(key, jnp.zeros((1, P_LEN + R_LEN), jnp.int32))["params"]
+    ref_params = jax.tree.map(lambda x: x, params)
+    tx = optax.adam(cfg["lr"])
+    opt_state = tx.init(params)
+    logger = CSVLogger(generate_exp_name("grpo_countdown", "char"))
+    G, NP = cfg["group_size"], cfg["num_prompts"]
+
+    env = CountdownEnv(seed=cfg["seed"], num_count=cfg["num_count"],
+                       max_number=cfg["max_number"],
+                       max_target=10 ** 3 - 1)
+    scorer: CountdownScorer = env.scorer
+
+    @jax.jit
+    def sample(p, prompt_tokens, k):
+        B = prompt_tokens.shape[0]
+        tokens = jnp.concatenate(
+            [prompt_tokens, jnp.full((B, R_LEN), PAD, jnp.int32)], 1)
+        lps = jnp.zeros((B, R_LEN))
+        for t in range(R_LEN):
+            logits = lm.apply({"params": p}, tokens)[:, P_LEN + t - 1]
+            k, kk = jax.random.split(k)
+            nxt = jax.random.categorical(kk, logits / cfg["temperature"], -1)
+            lp = jax.nn.log_softmax(logits / cfg["temperature"], -1)
+            lps = lps.at[:, t].set(
+                jnp.take_along_axis(lp, nxt[:, None], 1)[:, 0])
+            tokens = tokens.at[:, P_LEN + t].set(nxt)
+        return tokens[:, P_LEN:], lps
+
+    def response_log_probs(p, tokens):
+        logits = lm.apply({"params": p}, tokens)
+        lp = jax.nn.log_softmax(logits, -1)
+        pos = jnp.arange(R_LEN) + P_LEN - 1
+        tgt = jax.lax.dynamic_slice_in_dim(tokens, P_LEN, R_LEN, 1)
+        return jnp.take_along_axis(lp[:, pos, :], tgt[..., None], -1)[..., 0]
+
+    @jax.jit
+    def update(p, opt_state, tokens, adv, old_lp, ref_lp, mask):
+        def total(q):
+            lp = response_log_probs(q, tokens)
+            return grpo_loss(lp, old_lp, adv, mask,
+                             clip_low=cfg["clip_low"],
+                             clip_high=cfg["clip_high"],
+                             ref_log_probs=ref_lp, kl_coeff=cfg["kl_coeff"])
+
+        (l, m), grads = jax.value_and_grad(total, has_aux=True)(p)
+        updates, opt_state = tx.update(grads, opt_state, p)
+        return optax.apply_updates(p, updates), opt_state, l
+
+    def shaped_reward(expression: str, answer: dict) -> tuple[float, bool]:
+        """Scorer reward + closeness shaping (training signal only)."""
+        detail = scorer.detail(
+            f"<answer>{expression}</answer>" if expression else "", answer)
+        reward = detail["reward"]
+        if expression and not detail["success"]:
+            value = CountdownScorer._safe_eval(expression)
+            if value is not None and CountdownScorer.validate_expression(
+                    expression, round(value), answer["numbers"]):
+                # well-formed over the right numbers: add closeness term
+                t = max(1, answer["target"])
+                reward += 0.5 * float(np.exp(-abs(value - t) / t))
+        return reward, bool(detail["success"])
+
+    for it in range(cfg["iters"]):
+        all_tokens, all_rewards, all_old_lp, successes = [], [], [], []
+        for _ in range(NP):
+            env.reset()
+            answer = env.current_answer
+            ptxt = prompt_text(answer["numbers"], answer["target"])
+            pids = jnp.asarray(np.stack([encode(ptxt, P_LEN)] * G))
+            k = jax.random.fold_in(key, it * NP + len(all_tokens))
+            resp, lps = sample(params, pids, k)
+            resp_np = np.asarray(resp)
+            for g in range(G):
+                expr = decode(resp_np[g])
+                r, ok = shaped_reward(expr, answer)
+                all_rewards.append(r)
+                successes.append(ok)
+            all_tokens.append(np.concatenate(
+                [np.asarray(pids), resp_np], 1))
+            all_old_lp.append(np.asarray(lps))
+        tokens = jnp.asarray(np.concatenate(all_tokens))
+        rewards = jnp.asarray(np.asarray(all_rewards, np.float32))
+        old_lp = jnp.asarray(np.concatenate(all_old_lp))
+        mask = jnp.ones_like(old_lp, bool)
+        group_ids = jnp.repeat(jnp.arange(NP), G)
+        adv = mc_advantage(rewards, group_ids, NP)
+        ref_lp = response_log_probs(ref_params, tokens)
+        params, opt_state, loss = update(
+            params, opt_state, tokens, adv, old_lp, ref_lp, mask)
+        if it % 20 == 0 or it == cfg["iters"] - 1:
+            sr = float(np.mean(successes))
+            logger.log_scalar("train/reward", float(rewards.mean()), step=it)
+            logger.log_scalar("train/success", sr, step=it)
+            print(f"iter {it}: reward={float(rewards.mean()):.3f} "
+                  f"success={sr:.3f} loss={float(loss):.4f}", flush=True)
+    return params
+
+
+if __name__ == "__main__":
+    main(apply_overrides({}, sys.argv[1:]))

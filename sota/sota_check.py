@@ -40,6 +40,7 @@ SMOKE = {
     "gail_pendulum.py": ["iters=10", "expert_frames=2000"],
     "grpo_arithmetic.py": ["iters=20"],
     "grpo_chat.py": ["iters=5", "num_prompts=4"],
+    "grpo_countdown.py": ["iters=5", "num_prompts=4", "group_size=4"],
     "iql_online_pendulum.py": ["total_frames=2000",
                                "init_random_frames=500"],
     "multiagent_iddpg.py": ["total_frames=2000"],

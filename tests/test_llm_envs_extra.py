@@ -318,3 +318,41 @@ def test_content_blocks():
     assert h2.messages[0].blocks[2].name == "f"
     # str content still yields a single text block
     assert Message("user", "plain").blocks[0].text == "plain"
+
+
+# ---------------------------------------------------------------------------
+# composable KL pipeline (RetrieveLogProb -> KLComputation)
+# ---------------------------------------------------------------------------
+
+def test_retrieve_log_prob_masks_prompt_tokens():
+    from rl_tpu.envs.llm import RetrieveLogProb
+    b = {"tokens": np.arange(6).reshape(1, 6),
+         "response_mask": np.array([[0, 0, 0, 1, 1, 1]])}
+    out = RetrieveLogProb(lambda t: -0.2 * np.ones(t.shape))(b)
+    assert out["ref_log_prob"][0, 0] == 0.0
+    assert out["ref_log_prob"][0, 3] == np.float32(-0.2)
+
+
+def test_kl_computation_pipeline_matches_retrieve_kl():
+    from rl_tpu.envs.llm import KLComputation, RetrieveKL, RetrieveLogProb
+    base = {"tokens": np.arange(4).reshape(1, 4),
+            "log_probs": -0.1 * np.ones((1, 4), np.float32),
+            "reward": np.float32(1.0)}
+    ref_model = lambda t: -0.3 * np.ones(t.shape)
+    staged = KLComputation(coef=0.1)(RetrieveLogProb(ref_model)(dict(base)))
+    fused = RetrieveKL(ref_model)(dict(base))
+    np.testing.assert_allclose(staged["kl_penalty"], fused["kl_penalty"])
+    # reward got the summed penalty
+    assert staged["reward"] == pytest.approx(
+        1.0 - 0.1 * staged["kl_penalty"].sum())
+
+
+def test_kl_computation_coef_annealable():
+    from rl_tpu.envs.llm import KLComputation
+    k = KLComputation(coef=1.0)
+    b = {"log_probs": np.zeros((1, 2)), "ref_log_prob": -0.5 * np.ones((1, 2)),
+         "reward": np.float32(0.0)}
+    r1 = k(dict(b))["reward"]
+    k.coef = 0.0
+    r2 = k(dict(b))["reward"]
+    assert r1 < 0.0 and r2 == 0.0
