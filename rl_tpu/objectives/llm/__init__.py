@@ -4,8 +4,10 @@ from .grpo import (
     CISPOLoss,
     MCAdvantage,
     SFTLoss,
+    dpo_loss,
     grpo_loss,
     mc_advantage,
+    preference_loss,
     sft_loss,
 )
 
@@ -15,7 +17,9 @@ __all__ = [
     "CISPOLoss",
     "MCAdvantage",
     "SFTLoss",
+    "dpo_loss",
     "grpo_loss",
     "mc_advantage",
+    "preference_loss",
     "sft_loss",
 ]

@@ -199,3 +199,36 @@ class SFTLoss:
         )
         loss = sft_loss(log_probs, td["response_mask"])
         return loss, TDict(loss_sft=loss)
+
+
+def preference_loss(chosen_scores: jax.Array, rejected_scores: jax.Array):
+    """Bradley-Terry reward-model objective over preference pairs:
+    ``-log sigmoid(r_chosen - r_rejected)`` (the RLHF reward-model loss the
+    reference trains on ``PairwiseDataset`` batches — reference
+    data/llm/reward.py:29).  Returns ``(loss, accuracy)``; accuracy is the
+    fraction of pairs the model ranks correctly."""
+    diff = chosen_scores - rejected_scores
+    loss = -jax.nn.log_sigmoid(diff).mean()
+    acc = (diff > 0).mean()
+    return loss, acc
+
+
+def dpo_loss(policy_chosen_lp: jax.Array, policy_rejected_lp: jax.Array,
+             ref_chosen_lp: jax.Array, ref_rejected_lp: jax.Array,
+             *, beta: float = 0.1, label_smoothing: float = 0.0):
+    """Direct Preference Optimization (Rafailov et al. 2023): the implicit
+    reward-margin ``beta * ((pi_c - ref_c) - (pi_r - ref_r))`` pushed through
+    a (optionally smoothed) logistic loss.  Inputs are sequence-summed
+    response log-probs.  Returns ``(loss, metrics_dict)`` with the mean
+    implicit rewards and accuracy."""
+    chosen_rel = policy_chosen_lp - ref_chosen_lp
+    rejected_rel = policy_rejected_lp - ref_rejected_lp
+    margin = beta * (chosen_rel - rejected_rel)
+    loss = (-(1.0 - label_smoothing) * jax.nn.log_sigmoid(margin)
+            - label_smoothing * jax.nn.log_sigmoid(-margin)).mean()
+    metrics = dict(
+        reward_chosen=(beta * chosen_rel).mean(),
+        reward_rejected=(beta * rejected_rel).mean(),
+        accuracy=(margin > 0).mean(),
+    )
+    return loss, metrics
