@@ -22,5 +22,6 @@ __all__ = [
     "get_logger",
 ]
 
-from .video import write_avi, write_gif, write_html, write_mp4, write_video
+from .video import (write_avi, write_gif, write_html, write_mp4,
+                    write_trajectory_viewer, write_video)
 from .monitoring import Every, LoggerMonitor

@@ -18,7 +18,8 @@ import subprocess
 
 import numpy as np
 
-__all__ = ["write_gif", "write_mp4", "write_avi", "write_video"]
+__all__ = ["write_gif", "write_mp4", "write_avi", "write_video",
+           "write_trajectory_viewer"]
 
 
 def _to_uint8_frames(video) -> np.ndarray:
@@ -180,3 +181,91 @@ def write_video(video, path: str, fps: int = 30) -> str:
         return write_mp4(video, path, fps)
     except RuntimeError:
         return write_avi(video, os.path.splitext(path)[0] + ".avi", fps)
+
+
+def write_trajectory_viewer(video, path: str, *, scalars: dict | None = None,
+                            fps: int = 30, max_frames: int = 600,
+                            scale: int = 1,
+                            title: str = "rl_tpu trajectory") -> str:
+    """Interactive single-file HTML trajectory viewer: play/pause, frame
+    scrubber, per-step scalar readout and a reward sparkline.
+
+    The browser-interactive analogue of the reference's web render stack
+    (``/root/reference/torchrl/record/render/`` serves rollouts to an
+    interactive browser view; its MuJoCo-WASM scene path needs an
+    emscripten toolchain absent from this image, so this viewer renders the
+    recorded frame stream instead).  Everything is inlined (frames as
+    base64 JPEGs) — open the file anywhere, no server.
+
+    ``scalars``: mapping name -> [T]-array (reward, value, action, ...),
+    shown for the scrubbed step; a ``reward`` entry also draws the
+    sparkline.  Long rollouts are strided down to ``max_frames``.
+    """
+    import base64
+    import io
+    import json
+
+    from PIL import Image
+
+    arr = _to_uint8_frames(video)
+    T = arr.shape[0]
+    stride = max(1, -(-T // max_frames))
+    idx = np.arange(0, T, stride)
+    frames64 = []
+    for i in idx:
+        img = Image.fromarray(arr[i])
+        if scale != 1:
+            img = img.resize((img.width * scale, img.height * scale),
+                             Image.NEAREST)
+        buf = io.BytesIO()
+        img.save(buf, format="JPEG", quality=85)
+        frames64.append(base64.b64encode(buf.getvalue()).decode())
+
+    scal = {}
+    for name, vals in (scalars or {}).items():
+        v = np.asarray(vals, np.float64).reshape(-1)[: T][idx]
+        scal[name] = [round(float(x), 5) for x in v]
+
+    payload = json.dumps(dict(frames=frames64, scalars=scal,
+                              steps=[int(i) for i in idx], fps=int(fps)))
+    html = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>__TITLE__</title><style>
+body{font-family:monospace;background:#111;color:#ddd;margin:2em auto;max-width:720px}
+img{image-rendering:pixelated;border:1px solid #444;max-width:100%}
+input[type=range]{width:100%}button{font-family:monospace;margin-right:.5em}
+#scalars td{padding:0 1em 0 0}canvas{width:100%;height:60px;background:#181818}
+</style></head><body>
+<h3>__TITLE__</h3>
+<img id="f"><canvas id="spark" width="700" height="60"></canvas>
+<input type="range" id="s" min="0" value="0">
+<div><button id="play">play</button><span id="info"></span></div>
+<table id="scalars"></table>
+<script>
+const D=__DATA__;let t=0,timer=null;
+const img=document.getElementById('f'),sl=document.getElementById('s'),
+ info=document.getElementById('info'),tbl=document.getElementById('scalars'),
+ cv=document.getElementById('spark'),cx=cv.getContext('2d');
+sl.max=D.frames.length-1;
+function draw(){img.src='data:image/jpeg;base64,'+D.frames[t];sl.value=t;
+ info.textContent=' step '+D.steps[t]+' / '+D.steps[D.steps.length-1];
+ tbl.innerHTML=Object.entries(D.scalars).map(([k,v])=>
+  '<tr><td>'+k+'</td><td>'+v[t]+'</td></tr>').join('');
+ spark();}
+function spark(){const r=D.scalars.reward;cx.clearRect(0,0,cv.width,cv.height);
+ if(!r)return;const lo=Math.min(...r),hi=Math.max(...r),sp=hi-lo||1;
+ cx.strokeStyle='#6c6';cx.beginPath();
+ r.forEach((v,i)=>{const x=i/(r.length-1||1)*cv.width,
+  y=cv.height-4-(v-lo)/sp*(cv.height-8);i?cx.lineTo(x,y):cx.moveTo(x,y)});
+ cx.stroke();cx.strokeStyle='#e66';cx.beginPath();
+ const x=t/(r.length-1||1)*cv.width;cx.moveTo(x,0);cx.lineTo(x,cv.height);cx.stroke();}
+sl.oninput=()=>{t=+sl.value;draw()};
+document.getElementById('play').onclick=function(){
+ if(timer){clearInterval(timer);timer=null;this.textContent='play';return}
+ this.textContent='pause';
+ timer=setInterval(()=>{t=(t+1)%D.frames.length;draw()},1000/D.fps);};
+draw();
+</script></body></html>"""
+    html = html.replace("__TITLE__", title).replace("__DATA__", payload)
+    with open(path, "w") as f:
+        f.write(html)
+    return path

@@ -45,12 +45,20 @@ def render_checkpoint(checkpoint: str | None, env, policy=None, *,
         if out.endswith(".html"):
             if "pixels" not in arrays:
                 raise ValueError(f"env wrote no {pixels_key} to render")
-            from rl_tpu.record.video import write_html
-
             px = arrays["pixels"]
             if px.ndim == 5:
                 px = px[:, 0]
-            stats["out"] = write_html(px, out)
+            if out.endswith(".view.html"):
+                # interactive scrubber with per-step reward overlay
+                from rl_tpu.record.video import write_trajectory_viewer
+
+                r = reward[:, 0] if reward.ndim > 1 else reward
+                stats["out"] = write_trajectory_viewer(
+                    px, out, scalars={"reward": r.reshape(len(px), -1)[:, 0]})
+            else:
+                from rl_tpu.record.video import write_html
+
+                stats["out"] = write_html(px, out)
         elif out.endswith((".gif", ".avi", ".mp4")):
             # video container output (reference rlrender mp4/gif path)
             if "pixels" not in arrays:

@@ -153,3 +153,37 @@ class TestHtmlRender:
                       "--steps", "20", "--out", out])
         assert stats["out"] == out
         assert "base64" in open(out).read()
+
+
+def test_trajectory_viewer(tmp_path):
+    """Interactive HTML viewer: frames inlined, scalars embedded, long
+    rollouts strided to max_frames."""
+    import json
+    import re
+
+    from rl_tpu.record import write_trajectory_viewer
+
+    vid = (np.random.rand(40, 16, 16, 3) * 255).astype(np.uint8)
+    out = str(tmp_path / "t.view.html")
+    write_trajectory_viewer(
+        vid, out, scalars={"reward": np.arange(40.0)}, fps=10, max_frames=10)
+    html = open(out).read()
+    m = re.search(r"const D=(\{.*?\});let", html, re.DOTALL)
+    data = json.loads(m.group(1))
+    assert len(data["frames"]) == len(data["steps"]) == 10  # strided 40→10
+    assert data["steps"][1] - data["steps"][0] == 4
+    assert data["scalars"]["reward"][1] == 4.0  # strided with the frames
+    assert data["fps"] == 10
+    # frames are valid base64 JPEG
+    import base64
+    assert base64.b64decode(data["frames"][0])[:2] == b"\xff\xd8"
+
+
+def test_trajectory_viewer_cli(tmp_path):
+    from rl_tpu.envs.minatar import BreakoutEnv
+    from rl_tpu.render.cli import render_checkpoint
+
+    out = str(tmp_path / "b.view.html")
+    stats = render_checkpoint(None, BreakoutEnv(), steps=12, out=out)
+    assert stats["out"] == out
+    assert "spark" in open(out).read()
