@@ -356,3 +356,51 @@ def test_kl_computation_coef_annealable():
     k.coef = 0.0
     r2 = k(dict(b))["reward"]
     assert r1 < 0.0 and r2 == 0.0
+
+
+# ---------------------------------------------------------------------------
+# multi-turn agentic loop: env + tools + thinking prompt, end to end
+# ---------------------------------------------------------------------------
+
+def test_multi_turn_tool_use_e2e():
+    """Two-turn conversation: turn 1 emits a python tool call whose result
+    feeds turn 2's final answer (the reference tools.py loop:
+    assistant -> tool -> assistant)."""
+    from rl_tpu.envs.llm import ChatEnv, PythonInterpreterTransform
+
+    def reward_fn(history, response):
+        return float("112" in response and "<answer>" in response)
+
+    env = ChatEnv(["compute (25+3)*4"], reward_fn=reward_fn, max_turns=2)
+    tools = PythonInterpreterTransform()
+
+    h = env.reset(0)
+    # turn 1: the policy writes code instead of answering
+    h, r1, d1, _ = env.step(h, "```python\nprint((25+3)*4)\n```")
+    assert not d1 and r1 == 0.0
+    h = tools(h)  # tool output appended
+    assert h.messages[-1].role == "tool" and h.messages[-1].text.strip() == "112"
+    # turn 2: answer using the tool result
+    result = h.messages[-1].text.strip()
+    h, r2, d2, _ = env.step(h, f"<answer>{result}</answer>")
+    assert d2 and r2 == 1.0
+    roles = [m.role for m in h.messages]
+    assert roles == ["user", "assistant", "tool", "assistant"]
+
+
+def test_thinking_prompt_retry_loop():
+    """AddThinkingPrompt drives a retry: wrong answer -> prompt injected,
+    done undone -> second attempt scored."""
+    from rl_tpu.envs.llm import AddThinkingPrompt, DatasetChatEnv
+
+    env = DatasetChatEnv([("2+2?", "4")], match="exact", max_turns=3)
+    think = AddThinkingPrompt(cond=lambda b: b["reward"] < 1.0)
+
+    h = env.reset(0)
+    h, r, d, _ = env.step(h, "<answer>5</answer>")
+    batch = think({"history": h, "reward": np.float32(r), "done": np.bool_(d)})
+    assert not batch["done"] and batch["reward"] == 0.0
+    h2 = batch["history"]
+    # the model "continues" from the edited turn with the right answer
+    _, r2, _, _ = env.step(h2[:-1], "4")
+    assert r2 == 1.0
