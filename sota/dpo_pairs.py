@@ -1,17 +1,21 @@
-"""DPO on synthetic preference pairs.
+"""SFT -> DPO on synthetic preference pairs (the standard RLHF recipe).
 
 Direct-preference-optimization counterpart of the reference's RLHF data
 path (``/root/reference/torchrl/data/llm/reward.py:29`` ``PairwiseDataset``
 — prompt + chosen/rejected comparisons): pairs prefer the CORRECT
-2-digit-sum completion over a corrupted one, and
-:func:`rl_tpu.objectives.llm.dpo_loss` trains a char ``TransformerLM``
-against a frozen reference copy.  Greedy exact-match on held-out sums is the
-headline metric — DPO recovers supervised-level accuracy from preferences
-alone.
+2-digit-sum completion over a corrupted one.  Phase 1 SFTs a char
+``TransformerLM`` on the chosen completions; phase 2 runs
+:func:`rl_tpu.objectives.llm.dpo_loss` against the frozen SFT copy.
+Greedy exact-match on held-out sums is the headline metric; pair ranking
+accuracy tracks the DPO objective itself.
+
+(DPO straight from random init maximizes the margin while both sequence
+probabilities fall — pair accuracy hits 1.0 with exact-match ~0.  The
+SFT warm start is load-bearing, exactly as in the reference pipeline.)
 
 Run::
 
-    python sota/dpo_pairs.py [iters=400] [beta=0.5]
+    python sota/dpo_pairs.py [iters=400] [sft_iters=300] [beta=0.5]
 """
 import sys
 
@@ -26,7 +30,7 @@ from rl_tpu.modules.transformer import TransformerLM
 from rl_tpu.objectives.llm import dpo_loss
 from rl_tpu.record import CSVLogger, generate_exp_name
 
-DEFAULTS = dict(iters=400, batch=64, lr=3e-4, beta=0.5,
+DEFAULTS = dict(iters=400, sft_iters=300, batch=64, lr=3e-4, beta=0.5,
                 label_smoothing=0.0, pairs=2048, seed=0)
 
 CHARS = "0123456789+=$_"
@@ -59,9 +63,6 @@ def main(cfg=None):
     key = jax.random.PRNGKey(cfg["seed"])
     lm = TransformerLM(vocab_size=VOCAB, n_layers=2, d_model=64)
     params = lm.init(key, jnp.zeros((1, P_LEN + R_LEN), jnp.int32))["params"]
-    ref_params = jax.tree.map(lambda x: x, params)
-    tx = optax.adam(cfg["lr"])
-    opt_state = tx.init(params)
     logger = CSVLogger(generate_exp_name("dpo_pairs", "char"))
     ds = make_pairs(cfg["pairs"], rng)
 
@@ -74,10 +75,33 @@ def main(cfg=None):
         tok_lp = jnp.take_along_axis(lp[:, pos, :], tgt[..., None], -1)[..., 0]
         return tok_lp.sum(-1)
 
+    def token_log_probs(p, tokens):
+        logits = lm.apply({"params": p}, tokens)
+        lp = jax.nn.log_softmax(logits, -1)
+        pos = jnp.arange(R_LEN) + P_LEN - 1
+        tgt = jax.lax.dynamic_slice_in_dim(tokens, P_LEN, R_LEN, 1)
+        return jnp.take_along_axis(lp[:, pos, :], tgt[..., None], -1)[..., 0]
+
+    tx_sft = optax.adam(cfg["lr"])
+
     @jax.jit
-    def update(p, opt_state, c_tok, r_tok):
-        ref_c = seq_log_prob(ref_params, c_tok)
-        ref_r = seq_log_prob(ref_params, r_tok)
+    def sft_update(p, opt_state, c_tok):
+        from rl_tpu.objectives.llm import sft_loss
+
+        def total(q):
+            return sft_loss(token_log_probs(q, c_tok),
+                            jnp.ones((c_tok.shape[0], R_LEN), bool))
+
+        l, grads = jax.value_and_grad(total)(p)
+        updates, opt_state = tx_sft.update(grads, opt_state, p)
+        return optax.apply_updates(p, updates), opt_state, l
+
+    tx = optax.adam(cfg["lr"])
+
+    @jax.jit
+    def update(p, opt_state, ref_p, c_tok, r_tok):
+        ref_c = seq_log_prob(ref_p, c_tok)
+        ref_r = seq_log_prob(ref_p, r_tok)
 
         def total(q):
             return dpo_loss(seq_log_prob(q, c_tok), seq_log_prob(q, r_tok),
@@ -109,21 +133,44 @@ def main(cfg=None):
         return float(np.mean([np.array_equal(o, g)
                               for o, g in zip(out, golds)]))
 
+    def batch_tokens(batch_rows, side):
+        return jnp.asarray(np.stack(
+            [encode(r["prompt"] + r[side]) for r in batch_rows]))
+
+    # -- phase 1: SFT on the chosen completions ----------------------------
+    opt_state = tx_sft.init(params)
+    it = 0
+    while it < cfg["sft_iters"]:
+        for batch_rows in ds.batches(cfg["batch"], seed=1000 + it):
+            params, opt_state, loss = sft_update(
+                params, opt_state, batch_tokens(batch_rows, "chosen"))
+            if it % 100 == 0 or it == cfg["sft_iters"] - 1:
+                exact = eval_exact(params)
+                logger.log_scalar("sft/loss", float(loss), step=it)
+                logger.log_scalar("sft/exact_match", exact, step=it)
+                print(f"sft {it}: loss={float(loss):.4f} "
+                      f"greedy_exact={exact:.3f}", flush=True)
+            it += 1
+            if it >= cfg["sft_iters"]:
+                break
+
+    # -- phase 2: DPO against the frozen SFT reference ---------------------
+    ref_params = jax.tree.map(lambda x: x, params)
+    opt_state = tx.init(params)
     it = 0
     while it < cfg["iters"]:
         for batch_rows in ds.batches(cfg["batch"], seed=it):
-            c_tok = jnp.asarray(np.stack(
-                [encode(r["prompt"] + r["chosen"]) for r in batch_rows]))
-            r_tok = jnp.asarray(np.stack(
-                [encode(r["prompt"] + r["rejected"]) for r in batch_rows]))
-            params, opt_state, loss, m = update(params, opt_state, c_tok, r_tok)
+            params, opt_state, loss, m = update(
+                params, opt_state, ref_params,
+                batch_tokens(batch_rows, "chosen"),
+                batch_tokens(batch_rows, "rejected"))
             if it % 50 == 0 or it == cfg["iters"] - 1:
                 exact = eval_exact(params)
                 logger.log_scalar("train/loss", float(loss), step=it)
                 logger.log_scalar("train/accuracy",
                                   float(m["accuracy"]), step=it)
                 logger.log_scalar("eval/exact_match", exact, step=it)
-                print(f"iter {it}: loss={float(loss):.4f} "
+                print(f"dpo {it}: loss={float(loss):.4f} "
                       f"pair_acc={float(m['accuracy']):.3f} "
                       f"greedy_exact={exact:.3f}", flush=True)
             it += 1

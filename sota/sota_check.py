@@ -30,7 +30,7 @@ SMOKE = {
         "gradient_steps=200", "dataset_frames=3000"],
     "discrete_sac_cartpole.py": ["total_frames=2000",
                                  "init_random_frames=500"],
-    "dpo_pairs.py": ["iters=10", "batch=16", "pairs=128"],
+    "dpo_pairs.py": ["iters=10", "sft_iters=10", "batch=16", "pairs=128"],
     "dqn_spaceinvaders.py": ["total_frames=1024", "num_envs=16",
                              "frames_per_batch=128",
                              "buffer_capacity=5000"],
