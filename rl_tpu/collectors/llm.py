@@ -75,6 +75,12 @@ class LLMCollector:
         weight_sync: optional scheme with ``pull(template=None)`` — polled
             once per batch; a fresh payload is handed to ``on_weights``.
         on_weights: callback receiving the pulled payload.
+        step_transform: optional ``state -> state`` applied between turns of
+            a conversation (after ``env.step``, before the next policy call)
+            — the in-conversation slot for tool execution
+            (:class:`rl_tpu.envs.llm.ToolTransform` /
+            ``PythonInterpreterTransform``; the reference runs these as env
+            transforms inside the step, envs/llm/transforms/tools.py).
     """
 
     def __init__(
@@ -92,6 +98,7 @@ class LLMCollector:
         policy_version: Callable[[], int] | None = None,
         weight_sync=None,
         on_weights: Callable | None = None,
+        step_transform: Callable | None = None,
     ):
         if yield_only_last_steps:
             yield_completed_trajectories = True
@@ -108,6 +115,7 @@ class LLMCollector:
         self._version = 0
         self.weight_sync = weight_sync
         self.on_weights = on_weights
+        self.step_transform = step_transform
         self._turns_done = 0
 
     # -- policy-version tracking (reference PolicyVersion transform) -------
@@ -166,6 +174,8 @@ class LLMCollector:
             steps.append(self._make_step(
                 state, prompt_repr, text, tokens, log_probs, reward, done,
                 traj_id, turn))
+            if self.step_transform is not None and not done:
+                state = self.step_transform(state)
             turn += 1
         return steps
 

@@ -404,3 +404,32 @@ def test_thinking_prompt_retry_loop():
     # the model "continues" from the edited turn with the right answer
     _, r2, _, _ = env.step(h2[:-1], "4")
     assert r2 == 1.0
+
+
+def test_collector_step_transform_tool_loop():
+    """LLMCollector with step_transform: turn 1 emits code, the tool runs
+    between turns, turn 2 reads the tool result — collected as one
+    2-step trajectory."""
+    from rl_tpu.collectors import LLMCollector
+    from rl_tpu.envs.llm import ChatEnv, PythonInterpreterTransform
+
+    def reward_fn(history, response):
+        return float("112" in response)
+
+    env = ChatEnv(["compute (25+3)*4"], reward_fn=reward_fn, max_turns=2)
+
+    def policy(state):
+        if state.messages[-1].role == "tool":
+            text = f"the answer is {state.messages[-1].text.strip()}"
+        else:
+            text = "```python\nprint((25+3)*4)\n```"
+        return text, np.arange(3), -0.1 * np.ones(3)
+
+    coll = LLMCollector(env, policy, yield_completed_trajectories=True,
+                        total_dialog_turns=2,
+                        step_transform=PythonInterpreterTransform())
+    traj = next(iter(coll))
+    assert [s["turn"] for s in traj] == [0, 1]
+    assert traj[0]["reward"] == 0.0 and traj[1]["reward"] == 1.0
+    roles = [m.role for m in traj[-1]["history"].messages]
+    assert roles == ["user", "assistant", "tool", "assistant"]
