@@ -28,6 +28,7 @@ __all__ = [
     "PythonInterpreterTransform", "BrowserTransform",
     "AddThinkingPrompt", "TemplateTransform", "DataLoadingPrimer",
     "ToolTransform", "RetrieveLogProb", "KLComputation",
+    "IncrementalTokenizer",
 ]
 
 
@@ -549,3 +550,51 @@ class KLComputation:
             penalty = kl.sum(-1) if reward.ndim < kl.ndim else kl
             batch[self.reward_key] = reward - self.coef * penalty
         return batch
+
+
+class IncrementalTokenizer:
+    """Tokenize a growing conversation incrementally: only the text appended
+    since the previous call is run through the tokenizer (reference
+    ``IncrementalTokenizer``, envs/llm/transforms/tokenizer.py:328 — the
+    KV-cache-friendly path where prompt tokens are never recomputed).
+
+    ``__call__(text) -> np.ndarray`` of ALL token ids for ``text``.  When
+    ``text`` extends the previously seen string, cached ids are reused and
+    only the suffix is tokenized.  Exact for char-level tokenizers and for
+    byte-level BPEs when growth happens on message boundaries (the chat
+    case); ``validate_every=N`` cross-checks a full retokenization every N
+    calls and repairs the cache on mismatch (cheap insurance against
+    boundary-merging tokenizers).
+    """
+
+    def __init__(self, tokenizer: Callable, *, validate_every: int = 0):
+        self.tokenizer = tokenizer
+        self.validate_every = int(validate_every)
+        self._text = ""
+        self._ids = np.zeros((0,), np.int32)
+        self._calls = 0
+
+    def _tok(self, text: str) -> np.ndarray:
+        ids = self.tokenizer(text)
+        if isinstance(ids, dict):
+            ids = ids["input_ids"]
+        return np.asarray(ids, np.int32).reshape(-1)
+
+    def reset(self) -> None:
+        self._text = ""
+        self._ids = np.zeros((0,), np.int32)
+
+    def __call__(self, text: str) -> np.ndarray:
+        self._calls += 1
+        if text.startswith(self._text) and self._text:
+            suffix = text[len(self._text):]
+            ids = (np.concatenate([self._ids, self._tok(suffix)])
+                   if suffix else self._ids)
+        else:
+            ids = self._tok(text)
+        if self.validate_every and self._calls % self.validate_every == 0:
+            full = self._tok(text)
+            if not np.array_equal(full, ids):
+                ids = full  # boundary merge: repair the cache
+        self._text, self._ids = text, ids
+        return ids

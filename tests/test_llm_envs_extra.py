@@ -433,3 +433,40 @@ def test_collector_step_transform_tool_loop():
     assert traj[0]["reward"] == 0.0 and traj[1]["reward"] == 1.0
     roles = [m.role for m in traj[-1]["history"].messages]
     assert roles == ["user", "assistant", "tool", "assistant"]
+
+
+def test_incremental_tokenizer():
+    from rl_tpu.envs.llm import IncrementalTokenizer
+
+    calls = []
+    def char_tok(t):
+        calls.append(t)
+        return [ord(c) for c in t]
+
+    inc = IncrementalTokenizer(char_tok)
+    a = inc("hello")
+    b = inc("hello world")
+    assert calls == ["hello", " world"]       # only the suffix retokenized
+    np.testing.assert_array_equal(b, [ord(c) for c in "hello world"])
+    # non-extension resets the cache
+    c = inc("bye")
+    assert calls[-1] == "bye" and len(c) == 3
+
+
+def test_incremental_tokenizer_validate_repairs():
+    from rl_tpu.envs.llm import IncrementalTokenizer
+
+    # adversarial tokenizer: merges "ab" into one id when seen together
+    def merging_tok(t):
+        out, i = [], 0
+        while i < len(t):
+            if t[i:i+2] == "ab":
+                out.append(999); i += 2
+            else:
+                out.append(ord(t[i])); i += 1
+        return out
+
+    inc = IncrementalTokenizer(merging_tok, validate_every=1)
+    inc("xa")
+    ids = inc("xab")          # suffix "b" would miss the merge; validation repairs
+    np.testing.assert_array_equal(ids, [ord("x"), 999])
