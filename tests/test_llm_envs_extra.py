@@ -470,3 +470,16 @@ def test_incremental_tokenizer_validate_repairs():
     inc("xa")
     ids = inc("xab")          # suffix "b" would miss the merge; validation repairs
     np.testing.assert_array_equal(ids, [ord("x"), 999])
+
+
+def test_gsm8k_env_accepts_hf_dataset():
+    """A huggingface datasets.Dataset (the reference's GSM8KEnv source) is a
+    sequence of row dicts — consumed directly, no adapter."""
+    datasets = pytest.importorskip("datasets")
+    ds = datasets.Dataset.from_dict({
+        "question": ["2+2?", "3*3?"],
+        "answer": ["... #### 4", "... #### 9"],
+    })
+    env = GSM8KEnv(ds)
+    h = env.reset(1)
+    assert env.step(h, "#### 9")[1] == 1.0
