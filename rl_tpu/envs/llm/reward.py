@@ -126,6 +126,78 @@ class IFEvalScorer:
     def _check_regex(text, *, pattern):
         return re.search(pattern, text) is not None
 
+    # -- extended registry (reference ifeval instruction families:
+    #    envs/llm/reward/ifeval/ — keywords/length/format/case/structure) --
+    @staticmethod
+    def _check_num_paragraphs(text, *, n, sep="\n\n"):
+        return len([p for p in text.split(sep) if p.strip()]) == n
+
+    @staticmethod
+    def _check_num_sentences(text, *, min=None, max=None):  # noqa: A002
+        count = len([s for s in re.split(r"[.!?]+", text) if s.strip()])
+        return (min is None or count >= min) and (max is None or count <= max)
+
+    @staticmethod
+    def _check_first_word(text, *, word):
+        parts = text.split()
+        return bool(parts) and parts[0].strip(".,!?:;\"'").lower() == word.lower()
+
+    @staticmethod
+    def _check_keyword_frequency(text, *, keyword, n, relation="at_least"):
+        count = text.lower().count(keyword.lower())
+        return count >= n if relation == "at_least" else (
+            count <= n if relation == "at_most" else count == n)
+
+    @staticmethod
+    def _check_all_lowercase(text):
+        return text == text.lower()
+
+    @staticmethod
+    def _check_all_uppercase(text):
+        return text == text.upper()
+
+    @staticmethod
+    def _check_num_capital_words(text, *, min=None, max=None):  # noqa: A002
+        count = len([w for w in text.split() if w.isupper() and w.isalpha()])
+        return (min is None or count >= min) and (max is None or count <= max)
+
+    @staticmethod
+    def _check_title(text):
+        """Response starts with a <<title>> line (ifeval title format)."""
+        return re.match(r"\s*<<[^<>\n]+>>", text) is not None
+
+    @staticmethod
+    def _check_postscript(text, *, marker="P.S."):
+        return marker in text
+
+    @staticmethod
+    def _check_num_placeholders(text, *, n):
+        """At least n [bracketed] placeholders (ifeval detectable_content)."""
+        return len(re.findall(r"\[[^\[\]]+\]", text)) >= n
+
+    @staticmethod
+    def _check_num_sections(text, *, n, marker="Section"):
+        return len(re.findall(re.escape(marker) + r"\s+\d", text)) == n
+
+    @staticmethod
+    def _check_json_keys(text, *, keys):
+        import json
+
+        try:
+            obj = json.loads(text.strip())
+        except (ValueError, TypeError):
+            return False
+        return isinstance(obj, dict) and set(keys) <= set(obj)
+
+    @staticmethod
+    def _check_quoted_response(text):
+        t = text.strip()
+        return len(t) >= 2 and t[0] == '"' and t[-1] == '"'
+
+    @staticmethod
+    def _check_no_commas(text):
+        return "," not in text
+
     def __call__(self, response: str, expected: Any = None) -> float:
         if not self.constraints:
             return 0.0

@@ -483,3 +483,53 @@ def test_gsm8k_env_accepts_hf_dataset():
     env = GSM8KEnv(ds)
     h = env.reset(1)
     assert env.step(h, "#### 9")[1] == 1.0
+
+
+class TestIFEvalExtendedRegistry:
+    """Extended constraint families (reference envs/llm/reward/ifeval/)."""
+
+    def _score(self, constraints, text):
+        from rl_tpu.envs.llm import IFEvalScorer
+        return IFEvalScorer(constraints)(text)
+
+    def test_paragraphs_sentences(self):
+        assert self._score([("num_paragraphs", {"n": 2})], "a\n\nb") == 1.0
+        assert self._score(
+            [("num_sentences", {"min": 2, "max": 3})], "One. Two!") == 1.0
+        assert self._score(
+            [("num_sentences", {"max": 1})], "One. Two. Three.") == 0.0
+
+    def test_first_word_and_keywords(self):
+        assert self._score([("first_word", {"word": "indeed"})],
+                           "Indeed, it works.") == 1.0
+        assert self._score(
+            [("keyword_frequency",
+              {"keyword": "tpu", "n": 2, "relation": "at_least"})],
+            "TPU and tpu again") == 1.0
+
+    def test_case_constraints(self):
+        assert self._score([("all_lowercase", {})], "quiet text") == 1.0
+        assert self._score([("all_uppercase", {})], "LOUD TEXT") == 1.0
+        assert self._score(
+            [("num_capital_words", {"min": 2})], "USE THE mxu") == 1.0
+
+    def test_format_constraints(self):
+        assert self._score([("title", {})], "<<My Title>>\nbody") == 1.0
+        assert self._score([("postscript", {})], "bye\nP.S. hello") == 1.0
+        assert self._score([("num_placeholders", {"n": 2})],
+                           "Dear [name] of [city]") == 1.0
+        assert self._score([("num_sections", {"n": 2})],
+                           "Section 1 x Section 2 y") == 1.0
+        assert self._score([("quoted_response", {})], '"all quoted"') == 1.0
+        assert self._score([("no_commas", {})], "no commas here") == 1.0
+
+    def test_json_keys(self):
+        assert self._score([("json_keys", {"keys": ["a", "b"]})],
+                           '{"a": 1, "b": 2, "c": 3}') == 1.0
+        assert self._score([("json_keys", {"keys": ["a", "z"]})],
+                           '{"a": 1}') == 0.0
+
+    def test_unknown_constraint_rejected(self):
+        from rl_tpu.envs.llm import IFEvalScorer
+        with pytest.raises(ValueError):
+            IFEvalScorer([("nope", {})])
