@@ -417,6 +417,42 @@ def pipeline_flops_shared(built, env, *, num_envs, steps, M=4):
         return None
 
 
+def bench_llm_engine(B=256, P=12, R=12, n_layers=8, d_model=320, iters=10):
+    """Generated tokens/s of the native 10M-param LLM engine (the
+    vLLM-engine role: batched autoregressive decode, bf16, one chip).
+    Mirrors sota/grpo_10m.py's sampler; raw device rate with value-sync
+    (the conversation stack on THIS container is tunnel-RTT-bound — see
+    STATUS.md)."""
+    from rl_tpu.modules.transformer import TransformerLM
+
+    lm = TransformerLM(vocab_size=32, n_layers=n_layers, d_model=d_model,
+                       n_heads=8, max_len=P + R, dtype=jnp.bfloat16)
+    params = lm.init(jax.random.PRNGKey(0),
+                     jnp.zeros((1, P + R), jnp.int32))["params"]
+
+    @jax.jit
+    def generate(p, prompts, k):
+        n = prompts.shape[0]
+        tokens = jnp.concatenate(
+            [prompts, jnp.full((n, R), 0, jnp.int32)], 1)
+        for t in range(R):
+            logits = lm.apply({"params": p}, tokens)[:, P + t - 1]
+            k, kk = jax.random.split(k)
+            nxt = jax.random.categorical(kk, jnp.asarray(logits, jnp.float32), -1)
+            tokens = tokens.at[:, P + t].set(nxt)
+        return tokens[:, P:]
+
+    prompts = jax.random.randint(jax.random.PRNGKey(1), (B, P), 0, 32)
+    key = jax.random.PRNGKey(2)
+    _sync(jnp.sum(generate(params, prompts, key)))  # compile + fence
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = generate(params, prompts, jax.random.fold_in(key, i))
+    _sync(jnp.sum(out))  # scalar value read fences the chain
+    dt = time.perf_counter() - t0
+    return B * R * iters / dt
+
+
 def bench_dreamer_optim(B=16, T=64, obs_dim=64, act_dim=6, iters=20):
     """Dreamer world-model+actor+value optimizer throughput.
 
@@ -740,6 +776,11 @@ def main() -> None:
     note(f"[bench] dreamer optim: {dreamer_ops:.1f} steps/s "
          f"(reference H200: ~7.0, dreamer/README.md:163)")
 
+    llm_tps = (bench_llm_engine(B=16, R=4, n_layers=2, d_model=64, iters=3)
+               if smoke else bench_llm_engine())
+    note(f"[bench] llm engine: {llm_tps:,.0f} generated tokens/s "
+         f"(10M-param bf16 TransformerLM, batch 256)")
+
     bridge = bench_host_bridge(steps=20 if smoke else 300,
                                budget_s=90.0 if smoke else 360.0)
     note(f"[bench] host bridge: {bridge}")
@@ -758,6 +799,8 @@ def main() -> None:
         "pixel84_config": "84x84x4, Nature conv 32/64/64 bf16, 1024 envs",
         "dreamer_optim_steps_per_s": round(dreamer_ops, 1),
         "dreamer_optim_config": "RSSM 512d/32s, batch 16x64 vector obs, model+actor+value fused jit; reference H200 ~7.0 steps/s (dreamer/README.md:163, IsaacLab states)",
+        "llm_engine_tokens_per_s": round(llm_tps, 1),
+        "llm_engine_config": "10M-param bf16 TransformerLM (8L d320), batch 256 autoregressive decode; raw device rate (conversation stack is tunnel-RTT-bound in this container)",
         "matmul_calibration_tflops": round(cal / 1e12, 1),
         "matmul_calibration_frac_of_peak": round(cal / V5E_PEAK_BF16, 3),
         "mfu_denominator": "v5e bf16 peak 197 TFLOP/s; FLOPs from XLA cost_analysis with loop bodies counted at true trip counts (collect probed at T=1 and scaled; update unrolled)",
