@@ -33,6 +33,7 @@ from rl_tpu.record import CSVLogger, generate_exp_name
 DEFAULTS = dict(
     iters=300, num_prompts=8, group_size=8, lr=3e-4,
     clip_low=0.2, clip_high=0.2, kl_coeff=0.005, temperature=1.0,
+    temp_final=0.6,  # linear sampling-temperature anneal (explore->commit)
     num_count=3, max_number=9, seed=0,
 )
 
@@ -80,7 +81,9 @@ def main(cfg=None):
     scorer: CountdownScorer = env.scorer
 
     @jax.jit
-    def sample(p, prompt_tokens, k):
+    def sample(p, prompt_tokens, k, temp):
+        # temp is a traced arg: an annealed value closed over the trace
+        # would bake the initial temperature in (CLAUDE.md lesson)
         B = prompt_tokens.shape[0]
         tokens = jnp.concatenate(
             [prompt_tokens, jnp.full((B, R_LEN), PAD, jnp.int32)], 1)
@@ -88,8 +91,8 @@ def main(cfg=None):
         for t in range(R_LEN):
             logits = lm.apply({"params": p}, tokens)[:, P_LEN + t - 1]
             k, kk = jax.random.split(k)
-            nxt = jax.random.categorical(kk, logits / cfg["temperature"], -1)
-            lp = jax.nn.log_softmax(logits / cfg["temperature"], -1)
+            nxt = jax.random.categorical(kk, logits / temp, -1)
+            lp = jax.nn.log_softmax(logits / temp, -1)
             lps = lps.at[:, t].set(
                 jnp.take_along_axis(lp, nxt[:, None], 1)[:, 0])
             tokens = tokens.at[:, P_LEN + t].set(nxt)
@@ -137,7 +140,10 @@ def main(cfg=None):
             ptxt = prompt_text(answer["numbers"], answer["target"])
             pids = jnp.asarray(np.stack([encode(ptxt, P_LEN)] * G))
             k = jax.random.fold_in(key, it * NP + len(all_tokens))
-            resp, lps = sample(params, pids, k)
+            frac = it / max(1, cfg["iters"] - 1)
+            temp = cfg["temperature"] + frac * (
+                cfg["temp_final"] - cfg["temperature"])
+            resp, lps = sample(params, pids, k, jnp.float32(temp))
             resp_np = np.asarray(resp)
             for g in range(G):
                 expr = decode(resp_np[g])
