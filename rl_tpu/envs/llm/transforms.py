@@ -24,7 +24,7 @@ import numpy as np
 from rl_tpu.data.llm.history import History
 
 __all__ = [
-    "KLRewardTransform", "RetrieveKL", "PolicyVersion",
+    "KLRewardTransform", "RetrieveKL", "PolicyVersion", "VersionChange",
     "PythonInterpreterTransform", "BrowserTransform",
     "AddThinkingPrompt", "TemplateTransform", "DataLoadingPrimer",
     "ToolTransform", "RetrieveLogProb", "KLComputation",
@@ -104,9 +104,20 @@ class KLRewardTransform(RetrieveKL):
         return batch
 
 
+@dataclasses.dataclass(frozen=True)
+class VersionChange:
+    """One recorded version-change event (reference ``VersionChange``,
+    policy_version.py:19)."""
+
+    timestamp: float
+    old_version: Any
+    new_version: Any
+
+
 class PolicyVersion:
     """Track the policy version and stamp it into collected data
-    (reference ``PolicyVersion`` policy_version.py:27).
+    (reference ``PolicyVersion`` policy_version.py:27).  Version changes
+    are recorded in :attr:`history` as :class:`VersionChange` events.
 
     ``version_type="int"``: monotonically increasing counter;
     ``"uuid"``: fresh UUID per update.  Collectors call
@@ -120,12 +131,18 @@ class PolicyVersion:
             raise ValueError("version_type must be 'int' or 'uuid'")
         self.version_type = version_type
         self.version: Any = 0 if version_type == "int" else str(uuid.uuid4())
+        self.history: list[VersionChange] = []
 
     def increment_version(self) -> Any:
+        import time
+
+        old = self.version
         if self.version_type == "int":
             self.version += 1
         else:
             self.version = str(uuid.uuid4())
+        self.history.append(
+            VersionChange(time.time(), old, self.version))
         return self.version
 
     def __call__(self, batch: dict) -> dict:

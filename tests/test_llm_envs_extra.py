@@ -533,3 +533,14 @@ class TestIFEvalExtendedRegistry:
         from rl_tpu.envs.llm import IFEvalScorer
         with pytest.raises(ValueError):
             IFEvalScorer([("nope", {})])
+
+
+def test_policy_version_change_history():
+    from rl_tpu.envs.llm import PolicyVersion, VersionChange
+    pv = PolicyVersion()
+    pv.increment_version()
+    pv.increment_version()
+    assert [type(e) for e in pv.history] == [VersionChange, VersionChange]
+    assert pv.history[0].old_version == 0
+    assert pv.history[1].new_version == pv.version == 2
+    assert pv.history[0].timestamp <= pv.history[1].timestamp
