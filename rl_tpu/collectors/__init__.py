@@ -10,7 +10,9 @@ __all__ = [
     "LLMCollector",
     "AsyncBatchedCollector",
     "RayCollector",
+    "RayLLMCollector",
     "RPCCollector",
     "DistributedSyncCollector",
 ]
-from .gated import RayCollector, RPCCollector, DistributedSyncCollector
+from .gated import (RayCollector, RayLLMCollector, RPCCollector,
+                    DistributedSyncCollector)

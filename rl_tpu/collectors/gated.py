@@ -10,7 +10,8 @@ for host-process fleets; cross-host control runs over ``rl_tpu.comm``.
 """
 from __future__ import annotations
 
-__all__ = ["RayCollector", "RPCCollector", "DistributedSyncCollector"]
+__all__ = ["RayCollector", "RPCCollector", "DistributedSyncCollector",
+           "RayLLMCollector"]
 
 
 class _Gated:
@@ -39,3 +40,11 @@ class DistributedSyncCollector(_Gated):
 
     _dep = "torch.distributed process groups"
     _alt = "DistributedCollector (jax.sharding mesh)"
+
+
+class RayLLMCollector(_Gated):
+    """Reference collectors/llm/ray_collector.py — Ray-remote LLM collector;
+    the local path is :class:`rl_tpu.collectors.AsyncBatchedCollector`
+    (worker-thread conversations) or ``LLMCollector`` in a process fleet."""
+
+    _alt = "AsyncBatchedCollector / LLMCollector"
