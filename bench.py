@@ -417,30 +417,39 @@ def pipeline_flops_shared(built, env, *, num_envs, steps, M=4):
         return None
 
 
-def bench_llm_engine(B=256, P=12, R=12, n_layers=8, d_model=320, iters=10):
+def bench_llm_engine(B=256, P=12, R=12, n_layers=8, d_model=320, iters=10,
+                     cached=False):
     """Generated tokens/s of the native 10M-param LLM engine (the
     vLLM-engine role: batched autoregressive decode, bf16, one chip).
-    Mirrors sota/grpo_10m.py's sampler; raw device rate with value-sync
-    (the conversation stack on THIS container is tunnel-RTT-bound — see
+    ``cached=False`` mirrors sota/grpo_10m.py's full-forward sampler;
+    ``cached=True`` runs the KV-cached decode path (lm_generate_cached —
+    the serving configuration).  Raw device rate with value-sync (the
+    conversation stack on THIS container is tunnel-RTT-bound — see
     STATUS.md)."""
-    from rl_tpu.modules.transformer import TransformerLM
+    from rl_tpu.modules.transformer import TransformerLM, lm_generate_cached
 
     lm = TransformerLM(vocab_size=32, n_layers=n_layers, d_model=d_model,
                        n_heads=8, max_len=P + R, dtype=jnp.bfloat16)
     params = lm.init(jax.random.PRNGKey(0),
                      jnp.zeros((1, P + R), jnp.int32))["params"]
 
-    @jax.jit
-    def generate(p, prompts, k):
-        n = prompts.shape[0]
-        tokens = jnp.concatenate(
-            [prompts, jnp.full((n, R), 0, jnp.int32)], 1)
-        for t in range(R):
-            logits = lm.apply({"params": p}, tokens)[:, P + t - 1]
-            k, kk = jax.random.split(k)
-            nxt = jax.random.categorical(kk, jnp.asarray(logits, jnp.float32), -1)
-            tokens = tokens.at[:, P + t].set(nxt)
-        return tokens[:, P:]
+    if cached:
+        lm_dec = lm.copy(decode=True)
+        generate = jax.jit(lambda p, prompts, k: lm_generate_cached(
+            lm_dec, p, prompts, R, k)[0])
+    else:
+        @jax.jit
+        def generate(p, prompts, k):
+            n = prompts.shape[0]
+            tokens = jnp.concatenate(
+                [prompts, jnp.full((n, R), 0, jnp.int32)], 1)
+            for t in range(R):
+                logits = lm.apply({"params": p}, tokens)[:, P + t - 1]
+                k, kk = jax.random.split(k)
+                nxt = jax.random.categorical(
+                    kk, jnp.asarray(logits, jnp.float32), -1)
+                tokens = tokens.at[:, P + t].set(nxt)
+            return tokens[:, P:]
 
     prompts = jax.random.randint(jax.random.PRNGKey(1), (B, P), 0, 32)
     key = jax.random.PRNGKey(2)
@@ -778,7 +787,11 @@ def main() -> None:
 
     llm_tps = (bench_llm_engine(B=16, R=4, n_layers=2, d_model=64, iters=3)
                if smoke else bench_llm_engine())
-    note(f"[bench] llm engine: {llm_tps:,.0f} generated tokens/s "
+    llm_tps_cached = (bench_llm_engine(B=16, R=4, n_layers=2, d_model=64,
+                                       iters=3, cached=True)
+                      if smoke else bench_llm_engine(cached=True))
+    note(f"[bench] llm engine: {llm_tps:,.0f} tokens/s full-forward, "
+         f"{llm_tps_cached:,.0f} tokens/s KV-cached "
          f"(10M-param bf16 TransformerLM, batch 256)")
 
     bridge = bench_host_bridge(steps=20 if smoke else 300,
@@ -800,7 +813,8 @@ def main() -> None:
         "dreamer_optim_steps_per_s": round(dreamer_ops, 1),
         "dreamer_optim_config": "RSSM 512d/32s, batch 16x64 vector obs, model+actor+value fused jit; reference H200 ~7.0 steps/s (dreamer/README.md:163, IsaacLab states)",
         "llm_engine_tokens_per_s": round(llm_tps, 1),
-        "llm_engine_config": "10M-param bf16 TransformerLM (8L d320), batch 256 autoregressive decode; raw device rate (conversation stack is tunnel-RTT-bound in this container)",
+        "llm_engine_cached_tokens_per_s": round(llm_tps_cached, 1),
+        "llm_engine_config": "10M-param bf16 TransformerLM (8L d320), batch 256 autoregressive decode (full-forward vs KV-cached); raw device rate (conversation stack is tunnel-RTT-bound in this container)",
         "matmul_calibration_tflops": round(cal / 1e12, 1),
         "matmul_calibration_frac_of_peak": round(cal / V5E_PEAK_BF16, 3),
         "mfu_denominator": "v5e bf16 peak 197 TFLOP/s; FLOPs from XLA cost_analysis with loop bodies counted at true trip counts (collect probed at T=1 and scaled; update unrolled)",
