@@ -51,6 +51,7 @@ DEFAULTS = dict(
     clip_low=0.2, clip_high=0.2, temperature=1.0,
     d_model=320, n_layers=8, n_heads=8, num_workers=32,
     task_digits=3,  # 2 = easier curriculum point (solves), 3 = hard
+    cached_decode=False,  # KV-cached engine (6x tokens/s on v5e; see bench)
     eval_every=50, seed=0, logger="csv",
 )
 
@@ -149,22 +150,30 @@ def main(cfg=None):
     B = NP * G
 
     # -- engine: fixed-size batched jitted sampler behind InferenceServer --
-    @jax.jit
-    def generate(p, prompts, k):          # [B, P] -> resp [B, R], lps [B, R]
-        n = prompts.shape[0]
-        tokens = jnp.concatenate(
-            [prompts, jnp.full((n, R_LEN), PAD, jnp.int32)], 1)
-        lps = jnp.zeros((n, R_LEN), jnp.float32)
-        for t in range(R_LEN):
-            logits = lm.apply({"params": p}, tokens)[:, P_LEN + t - 1]
-            logits = jnp.asarray(logits, jnp.float32) / cfg["temperature"]
-            k, kk = jax.random.split(k)
-            nxt = jax.random.categorical(kk, logits, -1)
-            lp = jax.nn.log_softmax(logits, -1)
-            lps = lps.at[:, t].set(
-                jnp.take_along_axis(lp, nxt[:, None], 1)[:, 0])
-            tokens = tokens.at[:, P_LEN + t].set(nxt)
-        return tokens[:, P_LEN:], lps
+    if cfg["cached_decode"]:
+        from rl_tpu.modules.transformer import lm_generate_cached
+
+        lm_dec = lm.copy(decode=True)
+        generate = jax.jit(lambda p, prompts, k: lm_generate_cached(
+            lm_dec, p, prompts, R_LEN, k,
+            temperature=cfg["temperature"], pad_id=PAD))
+    else:
+        @jax.jit
+        def generate(p, prompts, k):      # [B, P] -> resp [B, R], lps [B, R]
+            n = prompts.shape[0]
+            tokens = jnp.concatenate(
+                [prompts, jnp.full((n, R_LEN), PAD, jnp.int32)], 1)
+            lps = jnp.zeros((n, R_LEN), jnp.float32)
+            for t in range(R_LEN):
+                logits = lm.apply({"params": p}, tokens)[:, P_LEN + t - 1]
+                logits = jnp.asarray(logits, jnp.float32) / cfg["temperature"]
+                k, kk = jax.random.split(k)
+                nxt = jax.random.categorical(kk, logits, -1)
+                lp = jax.nn.log_softmax(logits, -1)
+                lps = lps.at[:, t].set(
+                    jnp.take_along_axis(lp, nxt[:, None], 1)[:, 0])
+                tokens = tokens.at[:, P_LEN + t].set(nxt)
+            return tokens[:, P_LEN:], lps
 
     def server_policy(p, prompt_batch, k):
         """Pad the coalesced request batch to a fixed size: one compiled
