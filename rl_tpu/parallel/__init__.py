@@ -18,7 +18,7 @@ __all__ = [
     "global_batch",
 ]
 from .pipeline import pipeline_apply, pipeline_fn, stack_stage_params  # noqa: F401,E402
-from .llm_tp import lm_tp_spec, shard_lm_params  # noqa: F401,E402
+from .llm_tp import lm_tp_spec, shard_lm_cache, shard_lm_params  # noqa: F401,E402
 
 __all__ += ["pipeline_apply", "pipeline_fn", "stack_stage_params",
-            "lm_tp_spec", "shard_lm_params"]
+            "lm_tp_spec", "shard_lm_cache", "shard_lm_params"]

@@ -23,7 +23,7 @@ import jax
 import jax.tree_util as jtu
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["lm_tp_spec", "shard_lm_params"]
+__all__ = ["lm_tp_spec", "shard_lm_params", "shard_lm_cache"]
 
 
 def lm_tp_spec(path: str, leaf, tp_size: int, axis: str = "tp") -> P:
@@ -77,3 +77,22 @@ def shard_lm_params(params, mesh: Mesh, axis: str = "tp"):
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jtu.tree_map_with_path(place, params)
+
+
+def shard_lm_cache(cache, mesh: Mesh, axis: str = "tp"):
+    """Place a decode-mode KV cache tensor-parallel: ``cached_key`` /
+    ``cached_value`` ``[B, L, H, dh]`` shard over the heads dim (matching
+    the column-parallel qkv projections), ``cache_index`` replicated.
+    Together with :func:`shard_lm_params` this is the full TP serving
+    state — each shard holds only its heads' KV history."""
+    tp_size = mesh.shape[axis]
+
+    def place(path, leaf):
+        ps = jtu.keystr(path)
+        spec = P()
+        if ("cached_key" in ps or "cached_value" in ps) and leaf.ndim == 4 \
+                and leaf.shape[2] % tp_size == 0:
+            spec = P(None, None, axis, None)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jtu.tree_map_with_path(place, cache)

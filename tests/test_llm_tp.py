@@ -92,3 +92,32 @@ def test_tp_generate_step(lm_and_params):
     with mesh:
         tp = next_token(shard_lm_params(params, mesh), tokens)
     np.testing.assert_array_equal(np.asarray(tp), np.asarray(base))
+
+
+def test_tp_cached_decode_matches_unsharded(lm_and_params):
+    """TP serving with the KV cache: params Megatron-sharded AND the cache
+    sharded over its heads dim — greedy decode equals the unsharded
+    engine (the full tensor-parallel serving state)."""
+    from rl_tpu.modules.transformer import init_lm_cache, lm_generate_cached
+    from rl_tpu.parallel import shard_lm_cache
+
+    lm, params = lm_and_params
+    lm_dec = lm.copy(decode=True)
+    prompts = jax.random.randint(jax.random.PRNGKey(5), (4, 6), 0, 32)
+    R = 5
+
+    base, _ = jax.jit(lambda p, pr, k: lm_generate_cached(
+        lm_dec, p, pr, R, k, temperature=0.0))(
+            params, prompts, jax.random.PRNGKey(6))
+
+    mesh = make_mesh({"tp": 2}, jax.devices()[:2])
+    sp = shard_lm_params(params, mesh)
+    cache = shard_lm_cache(init_lm_cache(lm_dec, 4), mesh)
+    kspec = cache["CausalTransformer_0"]["_Block_0"][
+        "MultiHeadDotProductAttention_0"]["cached_key"].sharding.spec
+    assert kspec == jax.sharding.PartitionSpec(None, None, "tp", None)
+    with mesh:
+        out, _ = jax.jit(lambda p, c, pr, k: lm_generate_cached(
+            lm_dec, p, pr, R, k, temperature=0.0, cache=c))(
+                sp, cache, prompts, jax.random.PRNGKey(6))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(base))
