@@ -42,11 +42,15 @@ class TestMailbox:
         f2 = client.submit(2)
 
         def serve():
-            # resolve in reverse order
+            # resolve in reverse order; ACCUMULATE across drains — the mp
+            # feeder thread can flush the two puts separately, so a single
+            # drain() may see only one item (dropping a partial drain loses
+            # that request forever — the round-4 flake)
+            got = []
             while True:
-                items = mb.drain()
-                if len(items) == 2:
-                    for cb, payload in reversed(items):
+                got.extend(mb.drain())
+                if len(got) == 2:
+                    for cb, payload in reversed(got):
                         mb.resolve(cb, payload + 100)
                     return
                 time.sleep(0.01)
