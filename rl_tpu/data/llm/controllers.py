@@ -63,10 +63,25 @@ class AdaptiveKLController(_KLController):
         self.horizon = int(horizon)
 
     def update(self, kl_values) -> float:
+        """*kl_values* are RAW per-sample KL observations (non-negative in
+        expectation).  Deviation from the reference (ADVICE r4): the
+        reference's update expects KL-PENALTY rewards and renormalizes via
+        ``-mean/coef``; feeding those negative penalty values here would
+        adapt the coefficient in the wrong direction — hence the warning.
+        """
         kl_values = np.asarray(kl_values, np.float64).reshape(-1)
         if kl_values.size == 0:
             raise ValueError("kl_values must be non-empty")
         kl = float(kl_values.mean())
+        if kl < 0:
+            import warnings
+
+            warnings.warn(
+                "AdaptiveKLController.update received a negative mean KL "
+                f"({kl:.4g}). This controller expects RAW KL observations, "
+                "not KL-penalty rewards (the reference's contract); passing "
+                "penalties adapts the coefficient in the wrong direction.",
+                stacklevel=2)
         error = float(np.clip(kl / self.target - 1.0, -0.2, 0.2))
         self.coef *= 1.0 + error * kl_values.size / self.horizon
         return self._push()

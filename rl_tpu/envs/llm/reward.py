@@ -293,6 +293,12 @@ class CountdownScorer:
                             numbers: Sequence[int]) -> bool:
         """True iff *expression* uses each source number at most once and
         evaluates to *target* (tolerance 1e-6 for division chains)."""
+        # reject decimal literals outright: "3.5" would decompose into
+        # source numbers 3 and 5 under the integer-token scan below, letting
+        # a non-source literal pass the availability check (reward-hacking
+        # channel; the reference parser shares the quirk — ADVICE r4)
+        if "." in expression:
+            return False
         used = [int(n) for n in re.findall(r"\d+", expression)]
         available = list(numbers)
         for n in used:

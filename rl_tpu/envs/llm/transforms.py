@@ -203,7 +203,7 @@ class PythonInterpreterTransform:
         tool message with the results (no-op if no code present)."""
         if not history.messages or history.messages[-1].role != "assistant":
             return history
-        blocks = _CODE_FENCE.findall(history.messages[-1].content)
+        blocks = _CODE_FENCE.findall(history.messages[-1].text)
         if not blocks:
             return history
         results = [self.execute(b) for b in blocks]
@@ -239,7 +239,7 @@ class BrowserTransform:
     def __call__(self, history: History) -> History:
         if not history.messages or history.messages[-1].role != "assistant":
             return history
-        blocks = self._FENCE.findall(history.messages[-1].content)
+        blocks = self._FENCE.findall(history.messages[-1].text)
         if not blocks:
             return history
         urls = [u.strip() for b in blocks for u in b.splitlines() if u.strip()]
@@ -329,7 +329,7 @@ class AddThinkingPrompt:
                 and history.messages[-1].role == "assistant"):
             last = history.messages[-1]
             edited = dataclasses.replace(
-                last, content=self._strip_answer(last.content))
+                last, content=self._strip_answer(last.text))
             history = History(history.messages[:-1] + (edited,))
         else:
             history = history.append(self.role, self.prompt)
@@ -494,7 +494,7 @@ class ToolTransform:
     def __call__(self, history: History) -> History:
         if not history.messages or history.messages[-1].role != "assistant":
             return history
-        blocks = self._FENCE.findall(history.messages[-1].content)
+        blocks = self._FENCE.findall(history.messages[-1].text)
         if not blocks:
             return history
         for block in blocks:

@@ -126,6 +126,17 @@ def lm_generate_cached(lm: "TransformerLM", params, prompts, gen_len: int,
     ``lm`` must be constructed with ``decode=True``.  Returns
     ``(response_tokens [B, gen_len], log_probs [B, gen_len])``; greedy when
     ``temperature == 0``.
+
+    .. warning:: the cached-attention path has NO padding mask: in
+       ``decode=True`` mode any caller-supplied ``attention_mask`` is
+       discarded (flax's cache constrains attention to the cache index, and
+       a T=1 causal mask would wrongly mask the cached prefix), so PADDED
+       variable-length prompts would attend to their pad tokens — the same
+       silent generate/rescore-mismatch class CLAUDE.md documents for HF
+       ``generate``.  Prompts must be UNPADDED fixed-length rows (every
+       caller in-repo satisfies this); left-pad support requires threading
+       a prompt mask into the cached attention (ADVICE r4, deliberate
+       deviation until a caller needs ragged prompts).
     """
     B, P = prompts.shape
     total = P + gen_len

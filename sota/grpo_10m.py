@@ -51,7 +51,9 @@ DEFAULTS = dict(
     clip_low=0.2, clip_high=0.2, temperature=1.0,
     d_model=320, n_layers=8, n_heads=8, num_workers=32,
     task_digits=3,  # 2 = easier curriculum point (solves), 3 = hard
-    cached_decode=False,  # KV-cached engine (6x tokens/s on v5e; see bench)
+    cached_decode=True,  # KV-cached engine (6x tokens/s on v5e, bit-equal
+    # to full-forward greedy — bench.py llm_engine_cached_tokens_per_s);
+    # set False to force the full-forward sampler (debug/ablation only)
     eval_every=50, seed=0, logger="csv",
 )
 

@@ -283,6 +283,36 @@ class TestToolTransform:
         h = self._hist("plain text")
         assert t(h) is h
 
+    def test_multimodal_tuple_content(self):
+        # History.from_chats widens content to tuple[ContentBlock, ...]; the
+        # fenced-block transforms must read the flattened .text view, not
+        # re.findall over a tuple (ADVICE r4 medium)
+        from rl_tpu.data.llm import ContentBlock
+
+        t = ToolTransform({"add": lambda a, b: a + b})
+        content = (
+            ContentBlock("image", url="data:image/png;base64,xyz"),
+            ContentBlock(
+                "text",
+                text='```tool\n{"name": "add", "arguments": {"a": 2, "b": 3}}\n```',
+            ),
+        )
+        h = t(self._hist(content))
+        assert h.messages[-1].role == "tool" and h.messages[-1].text == "5"
+
+    def test_multimodal_thinking_prompt_edit(self):
+        from rl_tpu.data.llm import ContentBlock
+
+        t = AddThinkingPrompt(cond=lambda b: True)
+        content = (
+            ContentBlock("image", url="data:image/png;base64,xyz"),
+            ContentBlock("text", text="<think>x</think><answer>3</answer>"),
+        )
+        h = History().append("user", "q").append("assistant", content)
+        out = t({"history": h, "reward": np.float32(0.0), "done": np.True_})
+        last = out["history"].messages[-1]
+        assert "<answer>" not in last.text and t.prompt in last.text
+
 
 # ---------------------------------------------------------------------------
 # History blocks + round-trip
