@@ -65,53 +65,71 @@ class TransformersWrapper:
         return text, response_ids, log_probs
 
     # -- scoring ------------------------------------------------------------
-    def log_probs_batch(self, prompt_ids: Sequence[Sequence[int]],
-                        response_ids: Sequence[Sequence[int]]) -> TDict:
-        """Score responses under current weights; returns padded
-        TDict(tokens, log_probs, response_mask) [B, L]."""
-        import torch
-
-        rows = []
-        for p, r in zip(prompt_ids, response_ids):
-            rows.append((list(p), list(r)))
+    @staticmethod
+    def build_scoring_batch(prompt_ids: Sequence[Sequence[int]],
+                            response_ids: Sequence[Sequence[int]],
+                            pad: int):
+        """Pad prompt+response rows into the EXACT batch ``generate()``
+        implies: ``attention_mask`` masks pad ids wherever they appear
+        (including inside the prompt — HF infers the mask from
+        pad_token_id), and ``position_ids`` are the mask cumsum (HF derives
+        positions the same way, so masked prompt positions shift later
+        tokens' learned positions).  Returns numpy
+        ``(tokens, attn, pos, response_mask)`` all ``[B, L]``; shared by the
+        no-grad behaviour pass and the differentiable training pass so the
+        two can never drift (the GRPO ratio is silently wrong for every
+        non-longest row otherwise — found driving a real HF GPT2)."""
+        rows = [(list(p), list(r)) for p, r in zip(prompt_ids, response_ids)]
         L = max(len(p) + len(r) for p, r in rows)
-        pad = self._pad_id()
         tokens = np.full((len(rows), L), pad, np.int64)
         mask = np.zeros((len(rows), L), bool)
         attn = np.zeros((len(rows), L), np.int64)
         for i, (p, r) in enumerate(rows):
             tokens[i, : len(p) + len(r)] = p + r
             mask[i, len(p): len(p) + len(r)] = True
-            # match generate()'s inferred attention convention exactly:
-            # it masks pad ids WHEREVER they appear (including inside the
-            # prompt); response tokens always attend
             attn[i, : len(p)] = (np.asarray(p) != pad).astype(np.int64)
             attn[i, len(p): len(p) + len(r)] = 1
-        t = torch.tensor(tokens)
-        with torch.no_grad():
-            # attention_mask matters: generate() infers one from
-            # pad_token_id, so rescoring without it attends to the ragged
-            # rows' padding and reports different log-probs than the
-            # behaviour pass (found driving a real HF GPT2 — the GRPO
-            # ratio would silently be off for every non-longest row)
-            # generate() also derives position_ids from the attention-mask
-            # cumsum, so masked prompt positions shift later tokens' rope/
-            # learned positions — reproduce that too
-            pos = np.maximum(np.cumsum(attn, axis=1) - 1, 0)
-            logits = self.model(
-                t, attention_mask=torch.tensor(attn),
-                position_ids=torch.tensor(pos)).logits  # [B, L, V]
+        pos = np.maximum(np.cumsum(attn, axis=1) - 1, 0)
+        return tokens, attn, pos, mask
+
+    @staticmethod
+    def score_tokens(model, tokens, attn, pos):
+        """Per-token log-probs of *tokens* under *model* — DIFFERENTIABLE
+        (no ``no_grad``): the training-side pass for GRPO/SFT updates of the
+        HF model itself.  ``out[i, j]`` scores ``tokens[i, j]`` given the
+        prefix; position 0 is 0.  Returns a torch tensor ``[B, L]``."""
+        import torch
+
+        t = torch.as_tensor(tokens)
+        logits = model(t, attention_mask=torch.as_tensor(attn),
+                       position_ids=torch.as_tensor(pos)).logits  # [B, L, V]
         logp = torch.log_softmax(logits[:, :-1], dim=-1)
-        tgt = t[:, 1:]
-        token_logp = logp.gather(-1, tgt.unsqueeze(-1)).squeeze(-1)  # [B, L-1]
-        # shift: log_probs[i, j] scores tokens[i, j+1]; align to token pos
-        out_logp = np.zeros((len(rows), L), np.float32)
-        out_logp[:, 1:] = token_logp.numpy()
+        token_logp = logp.gather(-1, t[:, 1:].unsqueeze(-1)).squeeze(-1)
+        return torch.nn.functional.pad(token_logp, (1, 0))  # [B, L]
+
+    def log_probs_batch(self, prompt_ids: Sequence[Sequence[int]],
+                        response_ids: Sequence[Sequence[int]]) -> TDict:
+        """Score responses under current weights; returns padded
+        TDict(tokens, log_probs, response_mask) [B, L]."""
+        import torch
+
+        tokens, attn, pos, mask = self.build_scoring_batch(
+            prompt_ids, response_ids, self._pad_id())
+        with torch.no_grad():
+            out_logp = self.score_tokens(self.model, tokens, attn, pos)
         return TDict(
             tokens=tokens.astype(np.int32),
-            log_probs=out_logp,
+            log_probs=out_logp.numpy().astype(np.float32),
             response_mask=mask,
         )
+
+    # -- weight sync --------------------------------------------------------
+    def update_weights(self, state_dict) -> None:
+        """Load a trained state-dict into the wrapped engine model — the
+        trainer→engine push target for :class:`LLMEngineWeightSync`
+        (reference: the NCCL trainer→vLLM broadcast, vllm_nccl.py:46-97;
+        here the engine is colocated so the push is a state-dict load)."""
+        self.model.load_state_dict(state_dict)
 
     def grpo_log_prob_fn(self):
         """Adapter for GRPOLoss(policy_log_prob_fn=...): host re-scoring."""
