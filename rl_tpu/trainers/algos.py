@@ -97,7 +97,19 @@ class _TrainerBase:
     def _maybe_eval_and_save(self, it: int, params, key, frames: int,
                              env_state=None):
         if self.evaluator is not None and it % self.eval_interval == 0:
-            # env_state carries transform state (VecNorm stats) into eval
+            # env_state carries transform state (VecNorm stats) into eval;
+            # only pass it when the env can actually carry it — plain envs
+            # would trigger the evaluator's cold-stats warning on every
+            # eval for state they never had
+            if env_state is not None:
+                import inspect
+
+                try:
+                    if "prev_state" not in inspect.signature(
+                            self.evaluator.env.reset).parameters:
+                        env_state = None
+                except (TypeError, ValueError):
+                    env_state = None
             self.evaluator.evaluate(params, key, step=frames,
                                     env_state=env_state)
         if self.save_path and self.save_interval and it % self.save_interval == 0:
