@@ -1,4 +1,6 @@
 from .controllers import AdaptiveKLController, ConstantKLController
+from .dataset import (TokenizedDatasetLoader, create_infinite_iterator,
+                      get_dataloader)
 from .history import ContentBlock, History, Message
 from .preference import PairwiseDataset, tokenize_batch
 from .topk import TopKRewardSelector
@@ -10,6 +12,9 @@ __all__ = [
     "History",
     "Message",
     "PairwiseDataset",
+    "TokenizedDatasetLoader",
     "TopKRewardSelector",
+    "create_infinite_iterator",
+    "get_dataloader",
     "tokenize_batch",
 ]

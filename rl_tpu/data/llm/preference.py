@@ -77,8 +77,15 @@ class PairwiseDataset:
 
     def batches(self, batch_size: int, *, seed: int = 0, shuffle: bool = True):
         """Yield row-lists of ``batch_size`` (last partial batch dropped)."""
+        for idx in self.index_batches(batch_size, seed=seed, shuffle=shuffle):
+            yield [self.rows[j] for j in idx]
+
+    def index_batches(self, batch_size: int, *, seed: int = 0,
+                      shuffle: bool = True):
+        """Yield index arrays of ``batch_size`` — the row-aligned handle a
+        memmap-tokenized copy (``TokenizedDatasetLoader``) indexes by."""
         order = np.arange(len(self.rows))
         if shuffle:
             np.random.RandomState(seed).shuffle(order)
         for i in range(0, len(order) - batch_size + 1, batch_size):
-            yield [self.rows[j] for j in order[i: i + batch_size]]
+            yield order[i: i + batch_size]

@@ -31,7 +31,12 @@ from rl_tpu.objectives.llm import dpo_loss
 from rl_tpu.record import CSVLogger, generate_exp_name
 
 DEFAULTS = dict(iters=400, sft_iters=300, batch=64, lr=3e-4, beta=0.5,
-                label_smoothing=0.0, pairs=2048, seed=0)
+                label_smoothing=0.0, pairs=2048, seed=0,
+                # when set: tokenize the pair corpus ONCE into [N, L]
+                # memmaps under this dir (TokenizedDatasetLoader —
+                # reference data/llm/dataset.py:26) and train from the
+                # memmapped copy; later runs reload without re-tokenizing
+                memmap_dir="")
 
 CHARS = "0123456789+=$_"
 EOS, PAD = CHARS.index("$"), CHARS.index("_")
@@ -133,15 +138,31 @@ def main(cfg=None):
         return float(np.mean([np.array_equal(o, g)
                               for o, g in zip(out, golds)]))
 
-    def batch_tokens(batch_rows, side):
-        return jnp.asarray(np.stack(
-            [encode(r["prompt"] + r[side]) for r in batch_rows]))
+    if cfg["memmap_dir"]:
+        # tokenize-once path: both sides cached as [N, P_LEN+R_LEN]
+        # memmaps, row-aligned with ds.rows; a second run with the same
+        # memmap_dir reloads without re-tokenizing
+        from rl_tpu.data.llm import TokenizedDatasetLoader
+
+        mm = {side: TokenizedDatasetLoader(
+            [r["prompt"] + r[side] for r in ds.rows],
+            lambda t: encode(t).tolist(), P_LEN + R_LEN,
+            root_dir=cfg["memmap_dir"], split=side, pad_id=PAD,
+        ).load()["input_ids"] for side in ("chosen", "rejected")}
+
+        def batch_tokens(idx, side):
+            return jnp.asarray(np.asarray(mm[side][np.asarray(idx)]))
+    else:
+        def batch_tokens(idx, side):
+            return jnp.asarray(np.stack(
+                [encode(ds.rows[j]["prompt"] + ds.rows[j][side])
+                 for j in idx]))
 
     # -- phase 1: SFT on the chosen completions ----------------------------
     opt_state = tx_sft.init(params)
     it = 0
     while it < cfg["sft_iters"]:
-        for batch_rows in ds.batches(cfg["batch"], seed=1000 + it):
+        for batch_rows in ds.index_batches(cfg["batch"], seed=1000 + it):
             params, opt_state, loss = sft_update(
                 params, opt_state, batch_tokens(batch_rows, "chosen"))
             if it % 100 == 0 or it == cfg["sft_iters"] - 1:
@@ -159,7 +180,7 @@ def main(cfg=None):
     opt_state = tx.init(params)
     it = 0
     while it < cfg["iters"]:
-        for batch_rows in ds.batches(cfg["batch"], seed=it):
+        for batch_rows in ds.index_batches(cfg["batch"], seed=it):
             params, opt_state, loss, m = update(
                 params, opt_state, ref_params,
                 batch_tokens(batch_rows, "chosen"),
