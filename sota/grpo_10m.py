@@ -51,6 +51,14 @@ DEFAULTS = dict(
     clip_low=0.2, clip_high=0.2, temperature=1.0,
     d_model=320, n_layers=8, n_heads=8, num_workers=32,
     task_digits=3,  # 2 = easier curriculum point (solves), 3 = hard
+    # SFT warmstart (CLAUDE.md round-4 lesson: pure GRPO from random init
+    # learns marginals fast and exact sequences very slowly; the standard
+    # recipe — and the reference's, grpo-sync.py trains from a pretrained
+    # SFT model — is warmstart then RL).  sft_iters>0 SFTs on gold
+    # completions first, stopping early once greedy exact-match reaches
+    # sft_stop_exact so GRPO retains meaningful headroom; the KL anchor
+    # becomes the post-SFT policy (RLHF convention).
+    sft_iters=0, sft_batch=512, sft_stop_exact=0.7, sft_lr=3e-4,
     cached_decode=True,  # KV-cached engine (6x tokens/s on v5e, bit-equal
     # to full-forward greedy — bench.py llm_engine_cached_tokens_per_s);
     # set False to force the full-forward sampler (debug/ablation only)
@@ -264,6 +272,62 @@ def main(cfg=None):
         return (tokens[:, P_LEN:] == gold).all(-1).mean()
 
     rng = np.random.default_rng(cfg["seed"])
+
+    # -- phase 1 (optional): SFT warmstart on gold completions -------------
+    if cfg["sft_iters"]:
+        nd = int(cfg["task_digits"])
+        tx_sft = optax.adam(cfg["sft_lr"])
+        opt_sft = tx_sft.init(params)
+
+        @jax.jit
+        def sft_update(p, o, toks):
+            def total(q):
+                return -response_log_probs(q, toks).mean()
+
+            l, grads = jax.value_and_grad(total)(p)
+            updates, o = tx_sft.update(grads, o, p)
+            return optax.apply_updates(p, updates), o, l
+
+        def sft_batch_tokens(n):
+            a = rng.integers(10 ** nd, size=n)
+            b = rng.integers(10 ** nd, size=n)
+            return jnp.asarray(np.stack([
+                encode(f"{digits(x, nd)}+{digits(y, nd)}="
+                       + digits(x + y, nd + 1) + "$")
+                for x, y in zip(a, b)]))
+
+        def greedy_exact_probe():
+            a = rng.integers(10 ** nd, size=256)
+            b = rng.integers(10 ** nd, size=256)
+            ep = jnp.asarray(np.stack([
+                encode(f"{digits(x, nd)}+{digits(y, nd)}=")
+                for x, y in zip(a, b)]))
+            eg = jnp.asarray(np.stack([
+                encode(digits(x + y, nd + 1) + "$")
+                for x, y in zip(a, b)]))
+            return float(greedy_eval(params, ep, eg))
+
+        for sft_it in range(cfg["sft_iters"]):
+            params, opt_sft, sl = sft_update(
+                params, opt_sft, sft_batch_tokens(cfg["sft_batch"]))
+            if sft_it % 20 == 0 or sft_it == cfg["sft_iters"] - 1:
+                acc = greedy_exact_probe()
+                if logger:
+                    logger.log_scalar("sft/loss", float(sl), step=sft_it)
+                    logger.log_scalar("sft/exact_match", acc, step=sft_it)
+                print(f"sft {sft_it}: loss={float(sl):.4f} "
+                      f"greedy_exact={acc:.3f}", flush=True)
+                if acc >= cfg["sft_stop_exact"]:
+                    print(f"sft: stop at exact={acc:.3f} >= "
+                          f"{cfg['sft_stop_exact']} (leave GRPO headroom)",
+                          flush=True)
+                    break
+        # RLHF convention: the KL anchor and the engine both become the
+        # post-SFT policy; GRPO optimizer state starts fresh
+        ref_params = jax.tree.map(lambda x: x, params)
+        opt_state = tx.init(params)
+        sync.push_weights(params)
+
     collector.start()
     stream = iter(collector)
     tokens_out = 0
