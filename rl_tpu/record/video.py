@@ -263,6 +263,11 @@ document.getElementById('play').onclick=function(){
  if(timer){clearInterval(timer);timer=null;this.textContent='play';return}
  this.textContent='pause';
  timer=setInterval(()=>{t=(t+1)%D.frames.length;draw()},1000/D.fps);};
+document.addEventListener('keydown',e=>{
+ if(e.key==='ArrowRight'){t=Math.min(t+1,D.frames.length-1);draw()}
+ else if(e.key==='ArrowLeft'){t=Math.max(t-1,0);draw()}
+ else if(e.key===' '){e.preventDefault();
+  document.getElementById('play').click()}});
 draw();
 </script></body></html>"""
     html = html.replace("__TITLE__", title).replace("__DATA__", payload)

@@ -179,6 +179,36 @@ def test_trajectory_viewer(tmp_path):
     assert base64.b64decode(data["frames"][0])[:2] == b"\xff\xd8"
 
 
+def test_trajectory_viewer_html_structure(tmp_path):
+    """Golden STRUCTURE test (VERDICT r4 next #10): the interactive viewer
+    must stay a self-contained document with the load-bearing elements —
+    scrub slider, play toggle, frame <img>, scalar sparkline canvas,
+    keyboard bindings — and must reference no external resources."""
+    import re
+
+    from rl_tpu.record import write_trajectory_viewer
+
+    vid = (np.random.rand(6, 8, 8, 3) * 255).astype(np.uint8)
+    out = str(tmp_path / "g.view.html")
+    write_trajectory_viewer(vid, out, scalars={"reward": np.arange(6.0)},
+                            fps=5)
+    html = open(out).read()
+    # document shell
+    assert html.lstrip().lower().startswith("<!doctype html")
+    # required interactive elements by id
+    for el in ('id="f"', 'id="spark"', 'id="s"', 'id="play"',
+               'id="info"', 'id="scalars"', '<input type="range"'):
+        assert el in html, f"viewer lost element {el}"
+    # inline script drives it; no external fetches of any kind
+    assert "<script>" in html and "</script>" in html
+    assert not re.search(r'src\s*=\s*"https?://', html)
+    assert not re.search(r'href\s*=\s*"https?://', html)
+    # data URI frames (self-contained playback)
+    assert "data:image/jpeg;base64" in html
+    # keyboard scrubbing stays wired
+    assert "keydown" in html and "ArrowRight" in html
+
+
 def test_trajectory_viewer_cli(tmp_path):
     from rl_tpu.envs.minatar import BreakoutEnv
     from rl_tpu.render.cli import render_checkpoint
