@@ -52,6 +52,10 @@ DEFAULTS = dict(
     iters=300, num_prompts=8, group_size=8, lr=5e-4, kl_coeff=0.01,
     clip_low=0.2, clip_high=0.2, max_digits=50,
     n_layer=4, n_head=4, n_embd=128, seed=0, logger="csv",
+    # SFT warmstart on gold completions (the repo's round-4 lesson and the
+    # reference posture — grpo-sync trains from a pretrained SFT model);
+    # stops early at sft_stop_exact sampled accuracy to leave GRPO headroom
+    sft_iters=0, sft_batch=128, sft_lr=1e-3, sft_stop_exact=0.6,
 )
 
 # char vocab: 0-9 digits, '+', '=', EOS '$', PAD '_'
@@ -149,6 +153,68 @@ def main(cfg=None):
     logger = (CSVLogger(generate_exp_name("grpo_gpt2", "addition"))
               if cfg["logger"] == "csv" else None)
     G, NP = cfg["group_size"], cfg["num_prompts"]
+
+    def make_gold_batch(n):
+        rng = np.random
+        prompt_ids, full_ids = [], []
+        for _ in range(n):
+            a, b = int(rng.randint(cfg["max_digits"])), int(
+                rng.randint(cfg["max_digits"]))
+            s = a + b
+            p = tok(f"{a // 10}{a % 10}+{b // 10}{b % 10}=")["input_ids"]
+            r = tok(f"{s // 10}{s % 10}$")["input_ids"]
+            prompt_ids.append(p)
+            full_ids.append(r)
+        return prompt_ids, full_ids
+
+    def greedy_exact_probe(n=64):
+        model_train.eval()
+        w = TransformersWrapper(model_train, tok, max_new_tokens=R_LEN,
+                                do_sample=False)
+        hits = 0
+        rng = np.random.RandomState(777)
+        for _ in range(n):
+            a, b = int(rng.randint(cfg["max_digits"])), int(
+                rng.randint(cfg["max_digits"]))
+            from rl_tpu.data.llm import History
+
+            h = History().append(
+                "user", f"{a // 10}{a % 10}+{b // 10}{b % 10}=")
+            text, _, _ = w.generate(h)
+            s = a + b
+            hits += text == f"{s // 10}{s % 10}$"
+        model_train.train()
+        return hits / n
+
+    # -- phase 1 (optional): SFT warmstart ---------------------------------
+    if cfg["sft_iters"]:
+        opt_sft = torch.optim.Adam(model_train.parameters(),
+                                   lr=cfg["sft_lr"])
+        for sft_it in range(cfg["sft_iters"]):
+            p_ids, r_ids = make_gold_batch(cfg["sft_batch"])
+            tokens, attn, pos, mask = TransformersWrapper.build_scoring_batch(
+                p_ids, r_ids, PAD)
+            lp = TransformersWrapper.score_tokens(model_train, tokens, attn,
+                                                  pos)
+            sl = -(lp[torch.as_tensor(mask)]).mean()
+            opt_sft.zero_grad()
+            sl.backward()
+            opt_sft.step()
+            if sft_it % 20 == 0 or sft_it == cfg["sft_iters"] - 1:
+                acc = greedy_exact_probe()
+                if logger is not None:
+                    logger.log_scalar("sft/loss", float(sl.detach()),
+                                      step=sft_it)
+                    logger.log_scalar("sft/exact_match", acc, step=sft_it)
+                print(f"sft {sft_it}: loss={float(sl.detach()):.4f} "
+                      f"greedy_exact={acc:.3f}", flush=True)
+                if acc >= cfg["sft_stop_exact"]:
+                    print(f"sft: stop at exact={acc:.3f}", flush=True)
+                    break
+        # RLHF convention: KL anchor + engine become the post-SFT policy
+        model_ref.load_state_dict(model_train.state_dict())
+        sync.push_weights(model_train.state_dict())
+        opt = torch.optim.Adam(model_train.parameters(), lr=cfg["lr"])
 
     for it in range(cfg["iters"]):
         steps = []
