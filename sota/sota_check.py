@@ -41,6 +41,8 @@ SMOKE = {
     "gail_pendulum.py": ["iters=10", "expert_frames=2000"],
     "grpo_arithmetic.py": ["iters=20"],
     "grpo_chat.py": ["iters=5", "num_prompts=4"],
+    "grpo_gpt2.py": ["iters=3", "sft_iters=3", "num_prompts=2",
+                     "group_size=4", "logger=none"],
     "grpo_countdown.py": ["iters=5", "num_prompts=4", "group_size=4"],
     "iql_online_pendulum.py": ["total_frames=2000",
                                "init_random_frames=500"],
