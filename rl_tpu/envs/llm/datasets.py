@@ -63,17 +63,44 @@ class CountdownProblemGenerator:
         self.max_target = int(max_target)
         self._rng = random.Random(seed)
 
-    def _reachable_target(self, numbers: list[int]) -> int:
+    def _reachable_target(self, numbers: list[int]) -> tuple[int, str]:
+        """(target, solution expression).  The RNG call sequence is
+        identical to the pre-solution version, so seeded target streams
+        are unchanged.  When the fold lands negative the solution is the
+        MIRRORED fold (negate the base, swap +/−, keep ×): the mirror of a
+        left fold equals its negation term-by-term, so the expression
+        evaluates to abs(acc) exactly."""
         pool = list(numbers)
         self._rng.shuffle(pool)
         acc = pool[0]
+        ops = []
         for n in pool[1:]:
             op = self._rng.randrange(3)
+            ops.append(op)
             acc = acc + n if op == 0 else acc - n if op == 1 else acc * n
+        negate = acc < 0
         acc = abs(acc)
         if acc == 0 or acc > self.max_target:
-            acc = sum(numbers)  # always reachable and within num_count*max_number
-        return acc
+            # always reachable and within num_count*max_number
+            return sum(numbers), "+".join(str(n) for n in pool)
+        return acc, self._fold_expression(pool, ops, negate)
+
+    @staticmethod
+    def _fold_expression(pool: list[int], ops: list[int],
+                         negate: bool) -> str:
+        expr = ("-" if negate else "") + str(pool[0])
+        has_addsub = False  # top-level +/− present (needs parens before ×)
+        for n, op in zip(pool[1:], ops):
+            if negate:
+                op = (1, 0, 2)[op]  # mirror + <-> − under negation
+            ch = "+-*"[op]
+            if ch == "*" and has_addsub:
+                expr = f"({expr})"
+                has_addsub = False
+            expr += ch + str(n)
+            if ch in "+-":
+                has_addsub = True
+        return expr
 
     def __iter__(self):
         return self
@@ -81,13 +108,15 @@ class CountdownProblemGenerator:
     def __next__(self) -> dict[str, Any]:
         numbers = [self._rng.randint(1, self.max_number)
                    for _ in range(self.num_count)]
-        target = self._reachable_target(numbers)
+        target, solution = self._reachable_target(numbers)
         query = (
             f"Numbers: {numbers}. Target: {target}. Build an arithmetic "
             f"expression equal to the target, using each number at most once "
             f"and only +, -, *, / and parentheses."
         )
-        return {"query": query, "answer": {"target": target, "numbers": numbers}}
+        return {"query": query,
+                "answer": {"target": target, "numbers": numbers},
+                "solution": solution}
 
 
 class CountdownEnv(ChatEnv):

@@ -37,13 +37,20 @@ DEFAULTS = dict(
                      # (tried: 0.5 over 1500 iters did NOT beat constant 1.0
                      # on this task — committed curve uses no anneal)
     num_count=3, max_number=9, seed=0,
+    # SFT warmstart on generator-retained gold solutions (round-5: the
+    # CountdownProblemGenerator now yields the fold expression it built
+    # the target from), then GRPO with annealed lr — the dpo_pairs /
+    # grpo_10m recipe applied to countdown (CLAUDE.md round-4 lesson)
+    sft_iters=0, sft_batch=256, sft_lr=1e-3, sft_stop_success=0.7,
+    anneal_lr=True,
 )
 
 # char vocab over the countdown alphabet
 CHARS = "0123456789+-*/()>,=$_"  # '$'=EOS, '_'=PAD, '>'/','/'=' prompt glue
 EOS, PAD = CHARS.index("$"), CHARS.index("_")
 VOCAB = len(CHARS)
-P_LEN, R_LEN = 12, 8  # "a,b,c>ttt=" padded -> expression + EOS
+P_LEN, R_LEN = 12, 10  # "a,b,c>ttt=" padded -> expression + EOS
+# (R_LEN 10 fits the longest 3-number gold fold "(-a+b)*c" + EOS)
 
 
 def encode(text: str, length: int) -> np.ndarray:
@@ -72,7 +79,11 @@ def main(cfg=None):
     lm = TransformerLM(vocab_size=VOCAB, n_layers=2, d_model=96)
     params = lm.init(key, jnp.zeros((1, P_LEN + R_LEN), jnp.int32))["params"]
     ref_params = jax.tree.map(lambda x: x, params)
-    tx = optax.adam(cfg["lr"])
+    if cfg["anneal_lr"]:
+        tx = optax.adam(optax.linear_schedule(
+            cfg["lr"], cfg["lr"] * 0.1, cfg["iters"]))
+    else:
+        tx = optax.adam(cfg["lr"])
     opt_state = tx.init(params)
     logger = CSVLogger(generate_exp_name("grpo_countdown", "char"))
     G, NP = cfg["group_size"], cfg["num_prompts"]
@@ -133,6 +144,70 @@ def main(cfg=None):
                 t = max(1, answer["target"])
                 reward += 0.5 * float(np.exp(-abs(value - t) / t))
         return reward, bool(detail["success"])
+
+    # -- phase 1 (optional): SFT warmstart on gold fold expressions --------
+    if cfg["sft_iters"]:
+        from rl_tpu.envs.llm.datasets import CountdownProblemGenerator
+
+        gen = CountdownProblemGenerator(
+            num_count=cfg["num_count"], max_number=cfg["max_number"],
+            max_target=10 ** 3 - 1, seed=cfg["seed"] + 1)
+        tx_sft = optax.adam(cfg["sft_lr"])
+        opt_sft = tx_sft.init(params)
+
+        @jax.jit
+        def sft_update(p, o, toks, mask):
+            def total(q):
+                lp = response_log_probs(q, toks)
+                return -(lp * mask).sum() / mask.sum()
+
+            l, grads = jax.value_and_grad(total)(p)
+            updates, o = tx_sft.update(grads, o, p)
+            return optax.apply_updates(p, updates), o, l
+
+        def gold_batch(n):
+            toks, mask = [], []
+            for _ in range(n):
+                row = next(gen)
+                ans, sol = row["answer"], row["solution"] + "$"
+                p_ids = encode(prompt_text(ans["numbers"], ans["target"]),
+                               P_LEN)
+                r_ids = encode(sol, R_LEN)
+                toks.append(np.concatenate([p_ids, r_ids]))
+                mask.append(np.arange(R_LEN) < len(sol))
+            return jnp.asarray(np.stack(toks)), jnp.asarray(np.stack(mask))
+
+        def greedy_success_probe(p, n=128):
+            hits = 0
+            for _ in range(n // 32):
+                probs = [next(gen) for _ in range(32)]
+                pids = jnp.asarray(np.stack([
+                    encode(prompt_text(r["answer"]["numbers"],
+                                       r["answer"]["target"]), P_LEN)
+                    for r in probs]))
+                resp, _ = sample(p, pids, jax.random.PRNGKey(0),
+                                 jnp.float32(1e-4))  # ~greedy
+                for r, row in zip(np.asarray(resp), probs):
+                    d = scorer.detail(f"<answer>{decode(r)}</answer>",
+                                      row["answer"])
+                    hits += bool(d["success"])
+            return hits / (n // 32 * 32)
+
+        for sft_it in range(cfg["sft_iters"]):
+            toks, mask = gold_batch(cfg["sft_batch"])
+            params, opt_sft, sl = sft_update(params, opt_sft, toks, mask)
+            if sft_it % 20 == 0 or sft_it == cfg["sft_iters"] - 1:
+                acc = greedy_success_probe(params)
+                logger.log_scalar("sft/loss", float(sl), step=sft_it)
+                logger.log_scalar("sft/success", acc, step=sft_it)
+                print(f"sft {sft_it}: loss={float(sl):.4f} "
+                      f"greedy_success={acc:.3f}", flush=True)
+                if acc >= cfg["sft_stop_success"]:
+                    print(f"sft: stop at success={acc:.3f} >= "
+                          f"{cfg['sft_stop_success']}", flush=True)
+                    break
+        ref_params = jax.tree.map(lambda x: x, params)
+        opt_state = tx.init(params)
 
     for it in range(cfg["iters"]):
         all_tokens, all_rewards, all_old_lp, successes = [], [], [], []

@@ -112,6 +112,23 @@ def test_countdown_generator_targets_reachable():
         assert str(ans["target"]) in p["query"]
 
 
+def test_countdown_generator_solutions_validate():
+    """The retained gold fold (round 5) must pass the scorer exactly —
+    including the mirrored fold used when the construction lands negative."""
+    for num_count, max_number in [(3, 9), (4, 100)]:
+        gen = CountdownProblemGenerator(num_count=num_count,
+                                        max_number=max_number, seed=0)
+        saw_mirror = False
+        for _ in range(300):
+            p = next(gen)
+            ans = p["answer"]
+            assert CountdownScorer.validate_expression(
+                p["solution"], ans["target"], ans["numbers"]), (
+                p["solution"], ans)
+            saw_mirror |= p["solution"].startswith("-")
+        assert saw_mirror  # negative folds occur and are mirrored
+
+
 def test_countdown_env_step_and_detail():
     env = CountdownEnv(seed=1, num_count=3, max_number=9)
     h = env.reset()
