@@ -145,13 +145,30 @@ def main(cfg=None):
                 reward += 0.5 * float(np.exp(-abs(value - t) / t))
         return reward, bool(detail["success"])
 
+    from rl_tpu.envs.llm.datasets import CountdownProblemGenerator
+
+    gen = CountdownProblemGenerator(
+        num_count=cfg["num_count"], max_number=cfg["max_number"],
+        max_target=10 ** 3 - 1, seed=cfg["seed"] + 1)
+
+    def greedy_success_probe(p, n=128):
+        hits = 0
+        for _ in range(n // 32):
+            probs = [next(gen) for _ in range(32)]
+            pids = jnp.asarray(np.stack([
+                encode(prompt_text(r["answer"]["numbers"],
+                                   r["answer"]["target"]), P_LEN)
+                for r in probs]))
+            resp, _ = sample(p, pids, jax.random.PRNGKey(0),
+                             jnp.float32(1e-4))  # ~greedy
+            for r, row in zip(np.asarray(resp), probs):
+                d = scorer.detail(f"<answer>{decode(r)}</answer>",
+                                  row["answer"])
+                hits += bool(d["success"])
+        return hits / (n // 32 * 32)
+
     # -- phase 1 (optional): SFT warmstart on gold fold expressions --------
     if cfg["sft_iters"]:
-        from rl_tpu.envs.llm.datasets import CountdownProblemGenerator
-
-        gen = CountdownProblemGenerator(
-            num_count=cfg["num_count"], max_number=cfg["max_number"],
-            max_target=10 ** 3 - 1, seed=cfg["seed"] + 1)
         tx_sft = optax.adam(cfg["sft_lr"])
         opt_sft = tx_sft.init(params)
 
@@ -176,22 +193,6 @@ def main(cfg=None):
                 toks.append(np.concatenate([p_ids, r_ids]))
                 mask.append(np.arange(R_LEN) < len(sol))
             return jnp.asarray(np.stack(toks)), jnp.asarray(np.stack(mask))
-
-        def greedy_success_probe(p, n=128):
-            hits = 0
-            for _ in range(n // 32):
-                probs = [next(gen) for _ in range(32)]
-                pids = jnp.asarray(np.stack([
-                    encode(prompt_text(r["answer"]["numbers"],
-                                       r["answer"]["target"]), P_LEN)
-                    for r in probs]))
-                resp, _ = sample(p, pids, jax.random.PRNGKey(0),
-                                 jnp.float32(1e-4))  # ~greedy
-                for r, row in zip(np.asarray(resp), probs):
-                    d = scorer.detail(f"<answer>{decode(r)}</answer>",
-                                      row["answer"])
-                    hits += bool(d["success"])
-            return hits / (n // 32 * 32)
 
         for sft_it in range(cfg["sft_iters"]):
             toks, mask = gold_batch(cfg["sft_batch"])
@@ -245,6 +246,10 @@ def main(cfg=None):
             logger.log_scalar("train/success", sr, step=it)
             print(f"iter {it}: reward={float(rewards.mean()):.3f} "
                   f"success={sr:.3f} loss={float(loss):.4f}", flush=True)
+        if it % 100 == 0 or it == cfg["iters"] - 1:
+            gacc = greedy_success_probe(params, n=256)
+            logger.log_scalar("eval/greedy_success", gacc, step=it)
+            print(f"  [eval] greedy success {gacc:.3f}", flush=True)
     return params
 
 
