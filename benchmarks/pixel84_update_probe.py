@@ -31,17 +31,23 @@ V5E_PEAK_BF16 = 197e12
 V5E_HBM_BW = 819e9
 
 
+def _scalar(tree):
+    # value-read sync WITHOUT flattening a big tiled buffer (an eager
+    # reshape(-1) of a bf16 [16k,4,84,84,4] view asks for a 124 GB layout
+    # copy on v5e — observed; CLAUDE.md's float(big[0]) trap)
+    return jnp.sum(jax.tree.leaves(tree)[0])
+
+
 def timeit(fn, *args, iters=10, donate=None):
     j = jax.jit(fn, donate_argnums=donate or ())
     out = j(*args)
-    _sync(jax.tree.leaves(out)[0].reshape(-1)[0])
+    _sync(_scalar(out))
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        o = args
         for _ in range(iters):
             out = j(*args)
-        _sync(jax.tree.leaves(out)[0].reshape(-1)[0])
+        _sync(_scalar(out))
         best = min(best, (time.perf_counter() - t0) / iters)
     return best, j
 
@@ -77,7 +83,7 @@ def main(num_envs=1024, steps=64, M=4):
         vt=jnp.zeros((n,), jnp.float32),
     )
     flat = {k2: v.reshape((n // M, M) + v.shape[1:]) for k2, v in flat.items()}
-    _sync(flat["px"].reshape(-1)[0])
+    _sync(_scalar(flat["a"]))
 
     # -- A: current python-unrolled 4-minibatch update ---------------------
     def unrolled(params, opt_state, flat):
