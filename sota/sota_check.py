@@ -43,7 +43,8 @@ SMOKE = {
     "grpo_chat.py": ["iters=5", "num_prompts=4"],
     "grpo_gpt2.py": ["iters=3", "sft_iters=3", "num_prompts=2",
                      "group_size=4", "logger=none"],
-    "grpo_countdown.py": ["iters=5", "num_prompts=4", "group_size=4"],
+    "grpo_countdown.py": ["iters=5", "num_prompts=4", "group_size=4",
+                          "sft_iters=3", "sft_batch=32"],
     "iql_online_pendulum.py": ["total_frames=2000",
                                "init_random_frames=500"],
     "multiagent_iddpg.py": ["total_frames=2000"],
