@@ -242,10 +242,17 @@ def main(cfg=None):
             params, opt_state, tokens, adv, old_lp, ref_lp, mask)
         if it % 20 == 0 or it == cfg["iters"] - 1:
             sr = float(np.mean(successes))
+            # pass@G: fraction of prompts where ANY completion in the
+            # group solves — the natural success metric for a search task
+            # under GRPO's grouped sampling
+            per_group = np.asarray(successes, bool).reshape(NP, G)
+            group_solve = float(per_group.any(axis=1).mean())
             logger.log_scalar("train/reward", float(rewards.mean()), step=it)
             logger.log_scalar("train/success", sr, step=it)
+            logger.log_scalar("train/group_solve", group_solve, step=it)
             print(f"iter {it}: reward={float(rewards.mean()):.3f} "
-                  f"success={sr:.3f} loss={float(loss):.4f}", flush=True)
+                  f"success={sr:.3f} pass@{G}={group_solve:.3f} "
+                  f"loss={float(loss):.4f}", flush=True)
         if it % 100 == 0 or it == cfg["iters"] - 1:
             gacc = greedy_success_probe(params, n=256)
             logger.log_scalar("eval/greedy_success", gacc, step=it)
