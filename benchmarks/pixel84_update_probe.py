@@ -60,29 +60,25 @@ def main(num_envs=1024, steps=64, M=4):
     key = jax.random.PRNGKey(0)
     env_state, root = env.reset(key)
 
-    # one real batch through collect+GAE to feed the update probes
-    @jax.jit
-    def collect(params, env_state, root, k):
-        def body(carry, kk):
-            env_state, td = carry
-            env_state, nxt, full = built["one_collect_step"](
-                params, env_state, td, kk)
-            return (env_state, nxt), full
-
-        ks = jax.random.split(k, steps)
-        (env_state, root), batch = jax.lax.scan(body, (env_state, root), ks)
-        return env_state, root, batch
-
-    env_state, root, batch = collect(params, env_state, root, key)
+    # synthetic minibatch inputs: the update-phase timing only depends on
+    # shapes/dtypes, and materializing a REAL collected batch eagerly
+    # (collect scan output + flat reshape copies) exhausted the 16 GB HBM
+    # alongside the probe's own buffers — the fused bench never holds both
     n = steps * num_envs
-    flat = dict(
-        px=batch["pixels"].reshape((-1, 84, 84, 4)),
-        a=batch["action"].reshape(-1),
-        oldlp=batch["sample_log_prob"].reshape(-1),
-        adv=jnp.zeros((n,), jnp.float32),
-        vt=jnp.zeros((n,), jnp.float32),
-    )
-    flat = {k2: v.reshape((n // M, M) + v.shape[1:]) for k2, v in flat.items()}
+
+    @jax.jit
+    def synth(k):
+        px = jax.random.randint(k, (n // M, M, 84, 84, 4), 0, 255,
+                                jnp.int32).astype(jnp.bfloat16) / 255.0
+        return dict(
+            px=px,
+            a=jax.random.randint(k, (n // M, M), 0, 3, jnp.int32),
+            oldlp=jnp.full((n // M, M), -1.1, jnp.float32),
+            adv=jax.random.normal(k, (n // M, M), jnp.float32),
+            vt=jnp.zeros((n // M, M), jnp.float32),
+        )
+
+    flat = synth(key)
     _sync(_scalar(flat["a"]))
 
     # -- A: current python-unrolled 4-minibatch update ---------------------
