@@ -171,6 +171,18 @@ def main(num_envs=1024, steps=64, M=4):
     t_f32, _ = timeit(mb_update_f32head, params, opt_state, mb0)
     print(f"one minibatch f32 head: {t_f32*1e3:.2f} ms", flush=True)
 
+    # -- D2: uint8 pixel storage (convert-on-read) -------------------------
+    # if the phase is HBM-bound, storing frames as uint8 (exact for the
+    # 0/1-valued MinAtar channels) halves the pixel bytes each pass reads
+    mb_u8 = dict(mb0, px=(mb0["px"] * 255).astype(jnp.uint8))
+
+    def mb_update_u8(params, opt_state, mb):
+        mb = dict(mb, px=mb["px"].astype(jnp.bfloat16) / 255.0)
+        return built["mb_update"](params, opt_state, mb)
+
+    t_u8, _ = timeit(mb_update_u8, params, opt_state, mb_u8)
+    print(f"one minibatch uint8 px: {t_u8*1e3:.2f} ms", flush=True)
+
     # -- E: collect-phase single step roofline for context ------------------
     lowered_c = jax.jit(built["one_collect_step"]).lower(
         params, env_state, root, key)
