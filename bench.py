@@ -36,18 +36,31 @@ PER_CHIP_TARGET = 1_000_000 / 16
 # the JSON reports what fraction of this a pure 8k^3 bf16 matmul actually
 # reaches on THIS chip, keeping the MFU denominator honest.
 V5E_PEAK_BF16 = 197e12
+V5E_HBM_BW = 819e9  # bytes/s — the other roofline axis
 
 
 def _xla_flops(jitfn, *args) -> float | None:
     """Per-call FLOPs as counted by XLA's own cost model (no hand math)."""
+    f, _ = _xla_cost(jitfn, *args)
+    return f
+
+
+def _xla_cost(jitfn, *args) -> tuple[float | None, float | None]:
+    """(flops, bytes accessed) from XLA's cost model — the two roofline
+    axes.  Bytes feed the bandwidth-ceiling MFU (see bench JSON
+    ``pixel84_mfu_roofline_ceiling``): a program whose arithmetic
+    intensity sits below the v5e crossover (~240 FLOP/byte at 197 bf16
+    TFLOP/s / 819 GB/s) can NEVER reach matmul-calibration MFU no matter
+    how well it schedules — its ceiling is AI × BW / peak."""
     try:
         ca = jitfn.lower(*args).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         f = ca.get("flops")
-        return float(f) if f else None
+        b = ca.get("bytes accessed")
+        return (float(f) if f else None), (float(b) if b else None)
     except Exception:
-        return None
+        return None, None
 
 
 def bench_matmul_calibration(n=8192, iters=30):
@@ -366,7 +379,8 @@ def bench_fused_shared(built, env, *, num_envs, steps, iters=10, windows=2):
     params = jax.tree.map(jnp.copy, built["params"])
     opt_state = jax.tree.map(jnp.copy, built["opt_state"])
     step = jax.jit(built["train_step"], donate_argnums=(0, 1, 2, 3))
-    flops = pipeline_flops_shared(built, env, num_envs=num_envs, steps=steps)
+    flops, byts = pipeline_flops_shared(built, env, num_envs=num_envs,
+                                        steps=steps)
     params, opt_state, env_state, root, r = step(params, opt_state,
                                                  env_state, root, key)
     _sync(r)
@@ -381,7 +395,16 @@ def bench_fused_shared(built, env, *, num_envs, steps, iters=10, windows=2):
         best_dt = min(best_dt, time.perf_counter() - t0)
     steps_per_s = iters * num_envs * steps / best_dt
     flops_per_s = (flops * iters / best_dt) if flops else None
-    return steps_per_s, flops_per_s
+    # bandwidth-roofline MFU ceiling of THIS program: its arithmetic
+    # intensity (flops/bytes, both from XLA's cost model) times HBM
+    # bandwidth, as a fraction of bf16 peak.  AI here sits far below the
+    # ~240 FLOP/byte crossover, so this ceiling — not the 0.708 matmul
+    # calibration — is the honest MFU bar (probe:
+    # benchmarks/pixel84_update_probe.py; candidates tried and rejected
+    # on-chip: scan-fused minibatches, f32 head, uint8 pixels, remat)
+    ceiling = (round(flops / byts * V5E_HBM_BW / V5E_PEAK_BF16, 4)
+               if flops and byts else None)
+    return steps_per_s, flops_per_s, ceiling
 
 
 def pipeline_flops_shared(built, env, *, num_envs, steps, M=4):
@@ -391,14 +414,15 @@ def pipeline_flops_shared(built, env, *, num_envs, steps, M=4):
         key = jax.random.PRNGKey(0)
         env_state, root = env.reset(key)
         step1 = jax.jit(built["one_collect_step"])
-        f_step = _xla_flops(step1, built["params"], env_state, root, key)
+        f_step, b_step = _xla_cost(step1, built["params"], env_state, root,
+                                   key)
         _, _, full = step1(built["params"], env_state, root, key)
         px = full["next", "pixels"]
         n = steps * num_envs
         # shifted next-values: the tail forward runs on the FINAL frame only
         px_spec = jax.ShapeDtypeStruct(px.shape, px.dtype)
-        f_tail = _xla_flops(jax.jit(built["value_tail"]), built["params"],
-                            px_spec)
+        f_tail, b_tail = _xla_cost(jax.jit(built["value_tail"]),
+                                   built["params"], px_spec)
         f32 = jnp.float32
         mb_spec = dict(
             px=jax.ShapeDtypeStruct((n // M,) + px.shape[1:], px.dtype),
@@ -407,15 +431,18 @@ def pipeline_flops_shared(built, env, *, num_envs, steps, M=4):
             adv=jax.ShapeDtypeStruct((n // M,), f32),
             vt=jax.ShapeDtypeStruct((n // M,), f32),
         )
-        f_mb = _xla_flops(jax.jit(built["mb_update"]), built["params"],
-                          built["opt_state"], mb_spec)
+        f_mb, b_mb = _xla_cost(jax.jit(built["mb_update"]), built["params"],
+                               built["opt_state"], mb_spec)
         if None in (f_step, f_tail, f_mb):
-            return None
-        return steps * f_step + f_tail + M * f_mb
+            return None, None
+        flops = steps * f_step + f_tail + M * f_mb
+        byts = (None if None in (b_step, b_tail, b_mb)
+                else steps * b_step + b_tail + M * b_mb)
+        return flops, byts
     except Exception as e:
         print(f"[bench] WARN shared flop probe failed: {e!r}",
               file=sys.stderr)
-        return None
+        return None, None
 
 
 def bench_llm_engine(B=256, P=12, R=12, n_layers=8, d_model=320, iters=10,
@@ -824,11 +851,12 @@ def main() -> None:
     env84s = make_pixel84_env(n84)
     built84s = build_ppo_shared(env84s, (84, 84, 4), num_envs=n84,
                                 steps=s84, n_actions=3)
-    pixel84_shared, shared_fps = bench_fused_shared(
+    pixel84_shared, shared_fps, shared_ceiling = bench_fused_shared(
         built84s, env84s, num_envs=n84, steps=s84,
         iters=2 if smoke else 10, windows=2)
     note(f"[bench] pixel84 shared-trunk: {pixel84_shared:,.0f} env-steps/s "
-         f"(MFU {mfu(shared_fps)})")
+         f"(MFU {mfu(shared_fps)} of a bandwidth-roofline ceiling "
+         f"{shared_ceiling})")
 
     dreamer_ops = bench_dreamer_optim(
         B=4, T=8, iters=3) if smoke else bench_dreamer_optim()
@@ -862,6 +890,15 @@ def main() -> None:
         "pixel84_mfu": mfu(pixel84_fps),
         "pixel84_shared_trunk_env_steps_per_s": round(pixel84_shared, 1),
         "pixel84_shared_trunk_mfu": mfu(shared_fps),
+        "pixel84_mfu_roofline_ceiling": shared_ceiling,
+        "pixel84_mfu_roofline_note": (
+            "this program's arithmetic intensity (XLA cost model: "
+            "flops/bytes) is far below the v5e ~240 FLOP/byte crossover — "
+            "it is HBM-bandwidth-bound, so its MFU ceiling is AI*BW/peak, "
+            "NOT the matmul calibration; measured-vs-ceiling is the "
+            "honest utilization (probe: benchmarks/pixel84_update_probe"
+            ".py — scan-fusion, f32 head, uint8 px, remat all tried and "
+            "rejected on-chip)"),
         "pixel84_phases": phases84,
         "pixel84_config": "84x84x4, Nature conv 32/64/64 bf16, 1024 envs",
         "dreamer_optim_steps_per_s": round(dreamer_ops, 1),

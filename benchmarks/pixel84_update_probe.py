@@ -183,6 +183,40 @@ def main(num_envs=1024, steps=64, M=4):
     t_u8, _ = timeit(mb_update_u8, params, opt_state, mb_u8)
     print(f"one minibatch uint8 px: {t_u8*1e3:.2f} ms", flush=True)
 
+    # -- D3: remat'd trunk — with the phase HBM-bound (AI~115 < 240) and
+    # compute floor ~half the bandwidth floor, recomputing forward
+    # activations during backward can cut stored-activation traffic for
+    # ~2 ms of extra (cheap) FLOPs
+    def mb_update_remat(params, opt_state, mb):
+        tx = optax.adam(3e-4)
+
+        @jax.checkpoint
+        def fwd(p, px):
+            return net32.apply({"params": p}, px)
+
+        def loss_fn(p):
+            logits, value = fwd(p, mb["px"])
+            lp = jax.nn.log_softmax(logits, -1)
+            lpa = jnp.take_along_axis(lp, mb["a"][:, None], 1)[:, 0]
+            ratio = jnp.exp(lpa - mb["oldlp"])
+            l_pi = -jnp.minimum(ratio * mb["adv"],
+                                jnp.clip(ratio, 0.8, 1.2) * mb["adv"]).mean()
+            l_v = ((value[:, 0] - mb["vt"]) ** 2).mean()
+            ent = -(jnp.exp(lp) * lp).sum(-1).mean()
+            return l_pi + 0.5 * l_v - 0.01 * ent
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(g, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    t_remat, _ = timeit(mb_update_remat, params, opt_state, mb0)
+    print(f"one minibatch remat:    {t_remat*1e3:.2f} ms", flush=True)
+    lowered_r = jax.jit(mb_update_remat).lower(params, opt_state, mb0)
+    car = lowered_r.compile().cost_analysis()
+    car = car[0] if isinstance(car, list) else car
+    print(f"remat cost: {car.get('flops',0)/1e9:.1f} GFLOP, "
+          f"{car.get('bytes accessed',0)/1e9:.2f} GB", flush=True)
+
     # -- E: collect-phase single step roofline for context ------------------
     lowered_c = jax.jit(built["one_collect_step"]).lower(
         params, env_state, root, key)
