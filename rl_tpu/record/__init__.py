@@ -23,5 +23,5 @@ __all__ = [
 ]
 
 from .video import (write_avi, write_gif, write_html, write_mp4,
-                    write_trajectory_viewer, write_video)
+                    write_notebook, write_trajectory_viewer, write_video)
 from .monitoring import Every, LoggerMonitor

@@ -19,7 +19,7 @@ import subprocess
 import numpy as np
 
 __all__ = ["write_gif", "write_mp4", "write_avi", "write_video",
-           "write_trajectory_viewer"]
+           "write_notebook", "write_trajectory_viewer"]
 
 
 def _to_uint8_frames(video) -> np.ndarray:
@@ -273,4 +273,84 @@ draw();
     html = html.replace("__TITLE__", title).replace("__DATA__", payload)
     with open(path, "w") as f:
         f.write(html)
+    return path
+
+
+def write_notebook(video, path: str, *, scalars: dict | None = None,
+                   stats: dict | None = None, fps: int = 10,
+                   title: str = "rl_tpu rollout") -> str:
+    """Jupyter-notebook rollout export (reference ``rlrender`` notebook
+    output, ``/root/reference/torchrl/render/``): a ready-to-open ``.ipynb``
+    whose outputs are PRE-POPULATED — a stats table, the rollout as an
+    embedded animated GIF ``display_data`` output, and a reward sparkline
+    cell — so the notebook shows the rollout without executing anything
+    (and the code cells re-render from the sidecar data when run).
+
+    An ipynb is plain JSON (nbformat 4), so no notebook toolchain is
+    needed to WRITE it.
+    """
+    import base64
+    import io
+    import json
+    import tempfile
+
+    frames = _to_uint8_frames(video)
+    with tempfile.NamedTemporaryFile(suffix=".gif", delete=False) as tmp:
+        gif_path = tmp.name
+    try:
+        write_gif(frames, gif_path, fps=fps)
+        with open(gif_path, "rb") as f:
+            gif_b64 = base64.b64encode(f.read()).decode()
+    finally:
+        import os as _os
+
+        _os.unlink(gif_path)
+
+    def md(source):
+        return {"cell_type": "markdown", "metadata": {},
+                "source": source.splitlines(keepends=True)}
+
+    def code(source, outputs):
+        return {"cell_type": "code", "metadata": {}, "execution_count": 1,
+                "source": source.splitlines(keepends=True),
+                "outputs": outputs}
+
+    stats_lines = "\n".join(f"| {k} | {v} |" for k, v in (stats or {}).items())
+    cells = [
+        md(f"# {title}\n\n| stat | value |\n|---|---|\n{stats_lines}\n"),
+        code(
+            "from IPython.display import Image\n"
+            f"Image(filename={title!r} + '.gif')  # embedded below\n",
+            [{"output_type": "display_data",
+              "data": {"image/gif": gif_b64},
+              "metadata": {}}],
+        ),
+    ]
+    if scalars:
+        rows = {k: [float(x) for x in list(v)] for k, v in scalars.items()}
+        ascii_spark = ""
+        r = rows.get("reward")
+        if r:
+            lo, hi = min(r), max(r)
+            span = (hi - lo) or 1.0
+            marks = "▁▂▃▄▅▆▇█"
+            ascii_spark = "".join(
+                marks[int((x - lo) / span * (len(marks) - 1))] for x in
+                r[:: max(1, len(r) // 80)])
+        cells.append(code(
+            "scalars = " + json.dumps(rows)[:200000] + "\n"
+            "import matplotlib\n"
+            "# plot scalars['reward'] etc. when run interactively\n",
+            [{"output_type": "stream", "name": "stdout",
+              "text": [f"reward sparkline: {ascii_spark}\n"]}],
+        ))
+    nb = {
+        "nbformat": 4, "nbformat_minor": 5,
+        "metadata": {"kernelspec": {"name": "python3",
+                                    "display_name": "Python 3",
+                                    "language": "python"}},
+        "cells": cells,
+    }
+    with open(path, "w") as f:
+        json.dump(nb, f)
     return path

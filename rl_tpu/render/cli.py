@@ -59,6 +59,20 @@ def render_checkpoint(checkpoint: str | None, env, policy=None, *,
                 from rl_tpu.record.video import write_html
 
                 stats["out"] = write_html(px, out)
+        elif out.endswith(".ipynb"):
+            # notebook export (reference rlrender notebook path): pure
+            # JSON nbformat, pre-populated outputs — no toolchain needed
+            from rl_tpu.record.video import write_notebook
+
+            if "pixels" not in arrays:
+                raise ValueError(f"env wrote no {pixels_key} to render")
+            px = arrays["pixels"]
+            if px.ndim == 5:
+                px = px[:, 0]
+            r = reward[:, 0] if reward.ndim > 1 else reward
+            stats["out"] = write_notebook(
+                px, out, scalars={"reward": r.reshape(len(px), -1)[:, 0]},
+                stats=dict(stats))
         elif out.endswith((".gif", ".avi", ".mp4")):
             # video container output (reference rlrender mp4/gif path)
             if "pixels" not in arrays:

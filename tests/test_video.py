@@ -209,6 +209,30 @@ def test_trajectory_viewer_html_structure(tmp_path):
     assert "keydown" in html and "ArrowRight" in html
 
 
+def test_notebook_export(tmp_path):
+    """.ipynb rollout export (reference rlrender notebook path): valid
+    nbformat-4 JSON with a pre-populated GIF display output and the stats
+    table, openable without execution."""
+    import base64
+    import json
+
+    from rl_tpu.envs.minatar import BreakoutEnv
+    from rl_tpu.render.cli import render_checkpoint
+
+    out = str(tmp_path / "roll.ipynb")
+    stats = render_checkpoint(None, BreakoutEnv(), steps=10, out=out)
+    nb = json.load(open(out))
+    assert nb["nbformat"] == 4
+    kinds = [c["cell_type"] for c in nb["cells"]]
+    assert kinds[0] == "markdown" and "| stat | value |" in "".join(
+        nb["cells"][0]["source"])
+    gif = nb["cells"][1]["outputs"][0]["data"]["image/gif"]
+    assert base64.b64decode(gif)[:6] in (b"GIF87a", b"GIF89a")
+    spark = "".join(nb["cells"][2]["outputs"][0]["text"])
+    assert "sparkline" in spark
+    assert stats["out"] == out
+
+
 def test_trajectory_viewer_cli(tmp_path):
     from rl_tpu.envs.minatar import BreakoutEnv
     from rl_tpu.render.cli import render_checkpoint
