@@ -282,7 +282,7 @@ def bench_phases(built, *, iters=10):
 
 
 def build_ppo_shared(env, obs_shape, *, num_envs, steps, n_actions,
-                     dtype=jnp.bfloat16):
+                     dtype=jnp.bfloat16, obs_cast=None):
     """Shared-trunk PPO (reference Atari architecture: one CNN feeds both
     heads, modules.ConvActorCritic).  Same objective as build_ppo — clipped
     surrogate + value loss + entropy — with half the conv FLOPs in the
@@ -292,6 +292,8 @@ def build_ppo_shared(env, obs_shape, *, num_envs, steps, n_actions,
         generalized_advantage_estimate)
 
     net = ConvActorCritic(n_actions=n_actions, dtype=dtype)
+    if obs_cast is None:
+        obs_cast = lambda px: px  # noqa: E731
     key = jax.random.PRNGKey(0)
     params = net.init(key, jnp.zeros((1,) + obs_shape, dtype))["params"]
     tx = optax.adam(3e-4)
@@ -299,7 +301,7 @@ def build_ppo_shared(env, obs_shape, *, num_envs, steps, n_actions,
     M = 4
 
     def policy_step(params, td, k):
-        logits, value = net.apply({"params": params}, td["pixels"])
+        logits, value = net.apply({"params": params}, obs_cast(td["pixels"]))
         a = jax.random.categorical(k, logits, -1)
         lp = jax.nn.log_softmax(logits, -1)
         lp_a = jnp.take_along_axis(lp, a[:, None], 1)[:, 0]
@@ -314,7 +316,7 @@ def build_ppo_shared(env, obs_shape, *, num_envs, steps, n_actions,
 
     def mb_update(params, opt_state, mb):
         def loss_fn(p):
-            logits, value = net.apply({"params": p}, mb["px"])
+            logits, value = net.apply({"params": p}, obs_cast(mb["px"]))
             lp = jax.nn.log_softmax(logits, -1)
             lpa = jnp.take_along_axis(lp, mb["a"][:, None], 1)[:, 0]
             ratio = jnp.exp(lpa - mb["oldlp"])
@@ -329,7 +331,7 @@ def build_ppo_shared(env, obs_shape, *, num_envs, steps, n_actions,
         return optax.apply_updates(params, updates), opt_state
 
     def value_tail(params, next_px_flat):
-        _, next_v = net.apply({"params": params}, next_px_flat)
+        _, next_v = net.apply({"params": params}, obs_cast(next_px_flat))
         return next_v
 
     def train_step(params, opt_state, env_state, root, k):
@@ -590,9 +592,14 @@ def bench_dreamer_optim(B=16, T=64, obs_dim=64, act_dim=6, iters=20):
     return iters / (time.perf_counter() - t0)
 
 
-def make_pixel84_env(num_envs):
+def make_pixel84_env(num_envs, dtype=jnp.bfloat16):
     """Breakout upscaled to 84x84x4 — the Atari-class pixel shape (the
-    BASELINE Pong config; ALE itself is not in this image)."""
+    BASELINE Pong config; ALE itself is not in this image).
+
+    ``dtype=jnp.uint8`` stores frames as bytes (exact for the 0/1 MinAtar
+    channels; the standard Atari frame-buffer practice) — halves the byte
+    volume of every [T,B,84,84,4] batch the HBM-bound collect scan stacks
+    and the update re-reads; consumers cast at the net input."""
     from rl_tpu.envs import BatchedEnv
     from rl_tpu.envs.minatar import BreakoutEnv
 
@@ -601,14 +608,12 @@ def make_pixel84_env(num_envs):
         def observation_spec(self):
             from rl_tpu.data import Composite, Unbounded
 
-            return Composite(pixels=Unbounded((84, 84, 4), jnp.bfloat16))
+            return Composite(pixels=Unbounded((84, 84, 4), dtype))
 
         def _upscale(self, px):
             big = jnp.repeat(jnp.repeat(px, 8, axis=0), 8, axis=1)  # 80x80
-            # bf16 pixels: halves the byte volume of every [T,B,84,84,4]
-            # batch the collect scan stacks and GAE/update re-read — the
-            # pipeline is HBM-bandwidth-bound at this shape
-            return jnp.pad(big, ((2, 2), (2, 2), (0, 0))).astype(jnp.bfloat16)
+            out = jnp.pad(big, ((2, 2), (2, 2), (0, 0)))
+            return out.astype(dtype)
 
         def _reset(self, key):
             state, td = super()._reset(key)
@@ -847,10 +852,14 @@ def main() -> None:
     note(f"[bench] pixel84 phases: {phases84}")
 
     # shared conv trunk (the reference Atari architecture) — half the conv
-    # FLOPs in the update phase
-    env84s = make_pixel84_env(n84)
+    # FLOPs in the update phase.  Frames stored uint8 (exact for the 0/1
+    # MinAtar channels; the standard Atari frame-buffer practice): the
+    # HBM-bound pipeline moves 56.9 vs 87.8 GB/iter and runs +19% faster
+    # than bf16 frames (measured A/B: benchmarks/pixel84_uint8_ab.py)
+    env84s = make_pixel84_env(n84, dtype=jnp.uint8)
     built84s = build_ppo_shared(env84s, (84, 84, 4), num_envs=n84,
-                                steps=s84, n_actions=3)
+                                steps=s84, n_actions=3,
+                                obs_cast=lambda px: px.astype(jnp.bfloat16))
     pixel84_shared, shared_fps, shared_ceiling = bench_fused_shared(
         built84s, env84s, num_envs=n84, steps=s84,
         iters=2 if smoke else 10, windows=2)
@@ -890,6 +899,9 @@ def main() -> None:
         "pixel84_mfu": mfu(pixel84_fps),
         "pixel84_shared_trunk_env_steps_per_s": round(pixel84_shared, 1),
         "pixel84_shared_trunk_mfu": mfu(shared_fps),
+        "pixel84_shared_trunk_frames": (
+            "uint8 storage, cast-at-net-input (A/B vs bf16 frames: +19%, "
+            "benchmarks/pixel84_uint8_ab.py)"),
         "pixel84_mfu_roofline_ceiling": shared_ceiling,
         "pixel84_mfu_roofline_note": (
             "this program's arithmetic intensity (XLA cost model: "
