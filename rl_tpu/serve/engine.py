@@ -1,0 +1,446 @@
+"""Device kernels for the native LLM serving engine.
+
+The serving model (:class:`ServeLM`) is a twin of
+:class:`rl_tpu.modules.transformer.TransformerLM` with an *explicit* KV
+cache: the cache is a plain pytree argument (donate-able, shard-able) rather
+than a flax variable collection, attention takes a per-slot absolute write
+position, and the attention mask is derived purely from positions — so
+
+* prompts may be **ragged** (left-aligned + lengths; closes the documented
+  ``lm_generate_cached`` fixed-length limitation),
+* prefill runs **in parallel over the prompt length** (one forward, not P
+  sequential steps) and may start at a nonzero offset (multi-turn
+  continuation re-uses the slot's existing cache — the prefix-cache
+  analogue),
+* decode advances *all* slots one token per step under ``lax.scan``
+  (chunked decode), each slot carrying its own sampling parameters.
+
+The parameter tree is **identical** to ``TransformerLM`` (submodule names
+are pinned), so trained params drop in unchanged and the Megatron-style TP
+rules in :mod:`rl_tpu.parallel.llm_tp` apply as-is.
+
+Reference surface: vLLM's engine + ``SamplingParams``
+(``/root/reference/torchrl/modules/llm/backends/vllm/vllm_async.py:176,504``
+engine args; the reference wraps vLLM rather than owning serving).  On TPU
+the idiomatic design is fixed slots + static shapes, not paged memory: a
+"page" here is one slot row of the ``[S, L, H, Dh]`` cache.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rl_tpu.data import TDict
+
+__all__ = [
+    "ServeLM", "SamplingParams", "init_slot_cache", "init_slot_state",
+    "prefill", "decode_chunk", "decode_step", "sample_from_logits",
+]
+
+_NEG = -1e30
+
+
+class _ServeAttention(nn.Module):
+    """Multi-head attention over an explicit per-slot KV cache.
+
+    Parameter-compatible with ``nn.MultiHeadDotProductAttention`` (DenseGeneral
+    submodules named query/key/value/out; q scaled by 1/sqrt(head_dim); mask
+    applied pre-softmax as a large negative) so ``TransformerLM`` params load
+    unchanged.
+    """
+
+    n_heads: int
+    d_model: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, h, kv, write_pos):
+        # h [S, T, D]; kv = (k_cache, v_cache) each [S, L, H, Dh];
+        # write_pos [S] — absolute position of h[:, 0].
+        S, T, _ = h.shape
+        Dh = self.d_model // self.n_heads
+        proj = functools.partial(
+            nn.DenseGeneral, features=(self.n_heads, Dh), axis=-1,
+            dtype=self.dtype)
+        q = proj(name="query")(h)   # [S, T, H, Dh]
+        k = proj(name="key")(h)
+        v = proj(name="value")(h)
+        k_cache, v_cache = kv
+        L = k_cache.shape[1]
+        idx = write_pos[:, None] + jnp.arange(T)[None]          # [S, T]
+        safe = jnp.clip(idx, 0, L - 1)
+        rows = jnp.arange(S)[:, None]
+        k_cache = k_cache.at[rows, safe].set(k.astype(k_cache.dtype))
+        v_cache = v_cache.at[rows, safe].set(v.astype(v_cache.dtype))
+        q = q / jnp.sqrt(Dh).astype(self.dtype)
+        scores = jnp.einsum("sthd,slhd->shtl", q,
+                            k_cache.astype(self.dtype))
+        j = jnp.arange(L)
+        mask = j[None, None, None, :] <= safe[:, None, :, None]  # [S,1,T,L]
+        scores = jnp.where(mask, scores, jnp.asarray(_NEG, scores.dtype))
+        w = jax.nn.softmax(scores, axis=-1)
+        ctx = jnp.einsum("shtl,slhd->sthd", w, v_cache.astype(self.dtype))
+        out = nn.DenseGeneral(features=self.d_model, axis=(-2, -1),
+                              dtype=self.dtype, name="out")(ctx)
+        return out, (k_cache, v_cache)
+
+
+class _ServeBlock(nn.Module):
+    n_heads: int
+    d_model: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, kv, write_pos):
+        h = nn.LayerNorm(dtype=self.dtype, name="LayerNorm_0")(x)
+        h, kv = _ServeAttention(
+            self.n_heads, self.d_model, self.dtype,
+            name="MultiHeadDotProductAttention_0")(h, kv, write_pos)
+        x = x + h
+        h = nn.LayerNorm(dtype=self.dtype, name="LayerNorm_1")(x)
+        h = nn.Dense(4 * self.d_model, dtype=self.dtype, name="Dense_0")(h)
+        h = nn.gelu(h)
+        h = nn.Dense(self.d_model, dtype=self.dtype, name="Dense_1")(h)
+        return x + h, kv
+
+
+class _ServeCore(nn.Module):
+    n_layers: int
+    n_heads: int
+    d_model: int
+    max_len: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, cache, write_pos):
+        x = nn.Dense(self.d_model, dtype=self.dtype, name="Dense_0")(x)
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (self.max_len, self.d_model))
+        T = x.shape[-2]
+        idx = jnp.clip(write_pos[:, None] + jnp.arange(T)[None],
+                       0, self.max_len - 1)
+        x = x + jnp.asarray(pos, self.dtype)[idx]
+        new_cache = []
+        for i in range(self.n_layers):
+            x, kv = _ServeBlock(self.n_heads, self.d_model, self.dtype,
+                                name=f"_Block_{i}")(x, cache[i], write_pos)
+            new_cache.append(kv)
+        x = nn.LayerNorm(dtype=self.dtype, name="LayerNorm_0")(x)
+        return x, tuple(new_cache)
+
+
+class ServeLM(nn.Module):
+    """Explicit-cache serving twin of ``TransformerLM``.
+
+    ``apply({"params": p}, tokens [S,T], cache, write_pos [S]) ->
+    (logits [S,T,V], new_cache)`` — writes the chunk's K/V at absolute
+    positions ``write_pos + [0..T)`` and attends each query position ``p``
+    over cache positions ``<= p`` (garbage beyond a slot's frontier is never
+    visible; done-slot re-writes are idempotent).
+    """
+
+    vocab_size: int
+    n_layers: int = 2
+    n_heads: int = 4
+    d_model: int = 128
+    max_len: int = 512
+    dtype: Any = jnp.float32
+
+    @classmethod
+    def from_lm(cls, lm) -> "ServeLM":
+        """Build from a :class:`TransformerLM` (training twin) config."""
+        return cls(vocab_size=lm.vocab_size, n_layers=lm.n_layers,
+                   n_heads=lm.n_heads, d_model=lm.d_model,
+                   max_len=lm.max_len, dtype=lm.dtype)
+
+    @nn.compact
+    def __call__(self, tokens, cache, write_pos):
+        x = nn.Embed(self.vocab_size, self.d_model, dtype=self.dtype,
+                     name="Embed_0")(jnp.asarray(tokens, jnp.int32))
+        x, cache = _ServeCore(
+            n_layers=self.n_layers, n_heads=self.n_heads,
+            d_model=self.d_model, max_len=self.max_len, dtype=self.dtype,
+            name="CausalTransformer_0")(x, cache, write_pos)
+        return nn.Dense(self.vocab_size, dtype=self.dtype,
+                        name="Dense_0")(x), cache
+
+
+def init_slot_cache(lm, n_slots: int):
+    """Zeroed explicit KV cache: a tuple (per layer) of ``(k, v)`` arrays
+    ``[n_slots, max_len, n_heads, head_dim]`` in the model dtype — same
+    layout as the flax decode cache, so ``llm_tp.shard_lm_cache``-style
+    heads-dim sharding applies."""
+    dh = lm.d_model // lm.n_heads
+    shape = (n_slots, lm.max_len, lm.n_heads, dh)
+    z = lambda: jnp.zeros(shape, lm.dtype)
+    return tuple((z(), z()) for _ in range(lm.n_layers))
+
+
+class SamplingParams:
+    """Per-request sampling controls (the vLLM ``SamplingParams`` surface).
+
+    Defaults are pass-through: ``top_k=0`` / ``top_p=1`` / ``min_p=0`` /
+    ``repetition_penalty=1`` disable each filter; ``temperature=0`` is
+    greedy.  ``stop`` is a sequence of token ids (up to the state's
+    ``n_stop``); generation records the stop token then halts.
+    """
+
+    def __init__(self, *, max_new_tokens: int, temperature: float = 1.0,
+                 top_k: int = 0, top_p: float = 1.0, min_p: float = 0.0,
+                 repetition_penalty: float = 1.0, stop: tuple = ()):
+        self.max_new_tokens = int(max_new_tokens)
+        self.temperature = float(temperature)
+        self.top_k = int(top_k)
+        self.top_p = float(top_p)
+        self.min_p = float(min_p)
+        self.repetition_penalty = float(repetition_penalty)
+        self.stop = tuple(int(s) for s in stop)
+
+    def as_row(self, n_stop: int) -> dict:
+        if len(self.stop) > n_stop:
+            raise ValueError(f"{len(self.stop)} stop tokens > n_stop={n_stop}")
+        stop = list(self.stop) + [-1] * (n_stop - len(self.stop))
+        return dict(max_new=self.max_new_tokens, temperature=self.temperature,
+                    top_k=self.top_k, top_p=self.top_p, min_p=self.min_p,
+                    repetition_penalty=self.repetition_penalty,
+                    stop=np.asarray(stop, np.int32))
+
+
+def init_slot_state(n_slots: int, max_len: int, max_new_cap: int,
+                    *, n_stop: int = 4, pad_id: int = 0) -> TDict:
+    """Fresh slot table.  ``max_new_cap`` bounds any request's generation
+    length (static log-prob buffer).  All fields are per-slot arrays:
+
+    tokens [S, max_len], length/gen_count/max_new [S], active/done [S],
+    lps [S, max_new_cap], sampling params, stop [S, n_stop].
+    """
+    S = int(n_slots)
+    return TDict(
+        tokens=jnp.full((S, max_len), pad_id, jnp.int32),
+        length=jnp.zeros(S, jnp.int32),
+        active=jnp.zeros(S, bool),
+        done=jnp.zeros(S, bool),
+        gen_count=jnp.zeros(S, jnp.int32),
+        max_new=jnp.zeros(S, jnp.int32),
+        lps=jnp.zeros((S, max_new_cap), jnp.float32),
+        temperature=jnp.ones(S, jnp.float32),
+        top_k=jnp.zeros(S, jnp.int32),
+        top_p=jnp.ones(S, jnp.float32),
+        min_p=jnp.zeros(S, jnp.float32),
+        repetition_penalty=jnp.ones(S, jnp.float32),
+        stop=jnp.full((S, n_stop), -1, jnp.int32),
+        pad_id=jnp.asarray(pad_id, jnp.int32),
+    )
+
+
+def sample_from_logits(logits, state: TDict, key, slot_ids=None):
+    """Per-slot sampling: repetition penalty → temperature → top-k/top-p/
+    min-p filters → categorical (or argmax when temperature==0).
+
+    ``logits`` [K, V] float; slot params gathered at ``slot_ids`` (default:
+    all slots in order).  Returns ``(token [K] int32, log_prob [K] f32)``
+    where ``log_prob`` is under the *actual* sampling distribution (filtered
+    + renormalized; for greedy, the unfiltered softmax — a deterministic
+    choice has no sampling distribution, so we report the model's).
+    """
+    take = (lambda x: x) if slot_ids is None else (lambda x: x[slot_ids])
+    logits = jnp.asarray(logits, jnp.float32)
+    K, V = logits.shape
+    tokens, length = take(state["tokens"]), take(state["length"])
+    # repetition penalty over the slot's full context (prompt + generated),
+    # HF convention: positive logits divided, negative multiplied
+    pen = take(state["repetition_penalty"])[:, None]
+    valid = jnp.arange(tokens.shape[1])[None] < length[:, None]
+    seen = jnp.zeros((K, V), bool).at[
+        jnp.arange(K)[:, None], jnp.clip(tokens, 0, V - 1)].max(valid)
+    penalized = jnp.where(logits > 0, logits / pen, logits * pen)
+    logits = jnp.where(seen & (pen != 1.0), penalized, logits)
+
+    raw_lp = jax.nn.log_softmax(logits, -1)
+    temp = take(state["temperature"])
+    greedy = temp <= 0.0
+    scaled = logits / jnp.where(greedy, 1.0, temp)[:, None]
+
+    # sorted-order thresholds (per-slot k/p need value cutoffs, not lax.top_k)
+    sort_desc = -jnp.sort(-scaled, axis=-1)                    # [K, V]
+    probs = jax.nn.softmax(sort_desc, -1)
+    csum = jnp.cumsum(probs, -1)
+    k = take(state["top_k"])
+    k_eff = jnp.where((k <= 0) | (k > V), V, k)
+    k_thresh = sort_desc[jnp.arange(K), k_eff - 1]
+    p = take(state["top_p"])
+    # keep the smallest prefix whose mass reaches p (first token always kept)
+    keep_sorted = (csum - probs) < p[:, None]
+    n_keep = jnp.maximum(keep_sorted.sum(-1), 1)
+    p_thresh = sort_desc[jnp.arange(K), n_keep - 1]
+    mp = take(state["min_p"])
+    # prob >= min_p * p_max  ⇔  logit >= log(min_p) + max_logit
+    mp_thresh = jnp.where(
+        mp > 0, jnp.log(jnp.maximum(mp, 1e-30)) + sort_desc[:, 0], -jnp.inf)
+    thresh = jnp.maximum(jnp.maximum(k_thresh, p_thresh), mp_thresh)
+    keep = scaled >= thresh[:, None]
+    masked = jnp.where(keep, scaled, _NEG)
+
+    sampled = jax.random.categorical(key, masked, -1)
+    tok = jnp.where(greedy, jnp.argmax(scaled, -1), sampled).astype(jnp.int32)
+    lp_masked = jnp.take_along_axis(
+        jax.nn.log_softmax(masked, -1), tok[:, None], 1)[:, 0]
+    lp_raw = jnp.take_along_axis(raw_lp, tok[:, None], 1)[:, 0]
+    return tok, jnp.where(greedy, lp_raw, lp_masked)
+
+
+def _append_token(state: TDict, slot_ids, tok, lp, live_mask=None) -> TDict:
+    """Record a sampled token for slots ``slot_ids`` (active & not done):
+    write at ``tokens[length]``, bump length/gen_count, store lp, detect
+    stop/max_new.  ``slot_ids`` must be unique within one call (duplicate
+    scatter order is undefined); masked-out rows write back their slot's
+    current values, which is a no-op."""
+    live = state["active"][slot_ids] & ~state["done"][slot_ids]
+    if live_mask is not None:
+        live = live & live_mask
+    length = state["length"][slot_ids]
+    L = state["tokens"].shape[1]
+    pos = jnp.clip(length, 0, L - 1)
+    old_tok = state["tokens"][slot_ids, pos]
+    new_tok = jnp.where(live, tok, old_tok)
+    tokens = state["tokens"].at[slot_ids, pos].set(new_tok)
+    g = state["gen_count"][slot_ids]
+    gpos = jnp.clip(g, 0, state["lps"].shape[1] - 1)
+    old_lp = state["lps"][slot_ids, gpos]
+    lps = state["lps"].at[slot_ids, gpos].set(jnp.where(live, lp, old_lp))
+    hit_stop = (tok[:, None] == state["stop"][slot_ids]).any(-1)
+    g_new = jnp.where(live, g + 1, g)
+    done_new = state["done"][slot_ids] | (
+        live & (hit_stop | (g_new >= state["max_new"][slot_ids])
+                | (length + 1 >= L)))
+    return state.update({
+        "tokens": tokens,
+        "length": state["length"].at[slot_ids].set(
+            jnp.where(live, length + 1, length)),
+        "gen_count": state["gen_count"].at[slot_ids].set(g_new),
+        "lps": lps,
+        "done": state["done"].at[slot_ids].set(done_new),
+    })
+
+
+def prefill(serve: ServeLM, params, cache, state: TDict, slot_ids,
+            prompts, plens, req: TDict, key, valid=None, start=None):
+    """Admit up to K requests: run one parallel forward over the (ragged,
+    left-aligned) prompt chunk for the chosen slots, scatter K/V into the
+    cache, install per-request sampling params, and sample each request's
+    first token.
+
+    Args: ``slot_ids`` [K] target slots; ``prompts`` [K, P] left-aligned;
+    ``plens`` [K] true lengths (1..P); ``req`` a TDict of per-request rows
+    (``max_new/temperature/top_k/top_p/min_p/repetition_penalty/stop``,
+    see :meth:`SamplingParams.as_row`); ``valid`` [K] masks padding rows
+    (invalid rows leave slot + cache untouched — prefill shapes are
+    bucketed by the host); ``start`` [K] absolute offsets (default 0;
+    nonzero = multi-turn continuation over the slot's existing cache).
+
+    Returns ``(cache, state)``.
+    """
+    slot_ids = jnp.asarray(slot_ids, jnp.int32)
+    prompts = jnp.asarray(prompts, jnp.int32)
+    plens = jnp.asarray(plens, jnp.int32)
+    K, P = prompts.shape
+    valid = jnp.ones(K, bool) if valid is None else jnp.asarray(valid, bool)
+    start = jnp.zeros(K, jnp.int32) if start is None else jnp.asarray(
+        start, jnp.int32)
+
+    # gather the K slots' cache rows, forward, scatter back where valid
+    sub_cache = jax.tree.map(lambda c: c[slot_ids], cache,
+                             is_leaf=lambda x: isinstance(x, jnp.ndarray))
+    logits, new_sub = serve.apply({"params": params}, prompts, sub_cache,
+                                  start)
+    def _merge(old, new):
+        return jnp.where(valid[:, None, None, None], new, old)
+    merged = jax.tree.map(_merge, sub_cache, new_sub,
+                          is_leaf=lambda x: isinstance(x, jnp.ndarray))
+    cache = jax.tree.map(
+        lambda c, m: c.at[slot_ids].set(m), cache, merged,
+        is_leaf=lambda x: isinstance(x, jnp.ndarray))
+
+    # install the requests into the slot table
+    L = state["tokens"].shape[1]
+    arangeP = jnp.arange(P)
+    tok_idx = jnp.clip(start[:, None] + arangeP[None], 0, L - 1)  # [K, P]
+    in_prompt = (arangeP[None] < plens[:, None]) & valid[:, None]
+    old_rows = state["tokens"][slot_ids[:, None], tok_idx]
+    tokens = state["tokens"].at[slot_ids[:, None], tok_idx].set(
+        jnp.where(in_prompt, prompts, old_rows))
+    end = start + plens                                      # next write pos
+    sel = lambda new, old: jnp.where(valid, new, old[slot_ids])
+    state = state.update({
+        "tokens": tokens,
+        "length": state["length"].at[slot_ids].set(sel(end, state["length"])),
+        "active": state["active"].at[slot_ids].set(
+            sel(jnp.ones(K, bool), state["active"])),
+        "done": state["done"].at[slot_ids].set(
+            sel(jnp.zeros(K, bool), state["done"])),
+        "gen_count": state["gen_count"].at[slot_ids].set(
+            sel(jnp.zeros(K, jnp.int32), state["gen_count"])),
+        "max_new": state["max_new"].at[slot_ids].set(
+            sel(jnp.asarray(req["max_new"], jnp.int32), state["max_new"])),
+        "temperature": state["temperature"].at[slot_ids].set(
+            sel(jnp.asarray(req["temperature"], jnp.float32),
+                state["temperature"])),
+        "top_k": state["top_k"].at[slot_ids].set(
+            sel(jnp.asarray(req["top_k"], jnp.int32), state["top_k"])),
+        "top_p": state["top_p"].at[slot_ids].set(
+            sel(jnp.asarray(req["top_p"], jnp.float32), state["top_p"])),
+        "min_p": state["min_p"].at[slot_ids].set(
+            sel(jnp.asarray(req["min_p"], jnp.float32), state["min_p"])),
+        "repetition_penalty": state["repetition_penalty"].at[slot_ids].set(
+            sel(jnp.asarray(req["repetition_penalty"], jnp.float32),
+                state["repetition_penalty"])),
+        "stop": state["stop"].at[slot_ids].set(jnp.where(
+            valid[:, None], jnp.asarray(req["stop"], jnp.int32),
+            state["stop"][slot_ids])),
+        "lps": state["lps"].at[slot_ids].set(jnp.where(
+            valid[:, None], jnp.zeros_like(state["lps"][slot_ids]),
+            state["lps"][slot_ids])),
+    })
+
+    # sample each request's first token from the last valid prompt logit;
+    # invalid (bucket-padding) rows are masked out of the append — their
+    # slot may be mid-decode on another live request
+    last = jnp.take_along_axis(
+        logits, jnp.clip(plens - 1, 0, P - 1)[:, None, None], 1)[:, 0]
+    tok, lp = sample_from_logits(last, state, key, slot_ids=slot_ids)
+    state = _append_token(state, slot_ids, tok, lp, live_mask=valid)
+    return cache, state
+
+
+def decode_step(serve: ServeLM, params, cache, state: TDict, key):
+    """One token for every slot: feed each slot's newest token (position
+    ``length-1``), write its K/V, sample the next.  Inactive/done slots
+    no-op (idempotent cache writes, masked state updates)."""
+    S = state["tokens"].shape[0]
+    p = jnp.clip(state["length"] - 1, 0, state["tokens"].shape[1] - 1)
+    tok_in = state["tokens"][jnp.arange(S), p][:, None]          # [S, 1]
+    logits, cache = serve.apply({"params": params}, tok_in, cache, p)
+    tok, lp = sample_from_logits(logits[:, 0], state, key)
+    state = _append_token(state, jnp.arange(S), tok, lp)
+    return cache, state
+
+
+def decode_chunk(serve: ServeLM, params, cache, state: TDict, key,
+                 n_steps: int):
+    """``n_steps`` decode steps under ``lax.scan`` — one device dispatch
+    for a whole chunk (the tunnel/host round-trip amortizer; finished slots
+    idle harmlessly until the host harvests them)."""
+
+    def body(carry, k):
+        cache, state = carry
+        cache, state = decode_step(serve, params, cache, state, k)
+        return (cache, state), None
+
+    keys = jax.random.split(key, n_steps)
+    (cache, state), _ = jax.lax.scan(body, (cache, state), keys)
+    return cache, state

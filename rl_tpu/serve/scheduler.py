@@ -1,0 +1,281 @@
+"""Host-side continuous batching over the slot-machine device kernels.
+
+The scheduler owns the request queue and the slot table: freed slots are
+refilled from the queue while the remaining slots keep decoding (in-flight
+batching — the vLLM scheduling model, reference
+``/root/reference/torchrl/modules/llm/backends/vllm/vllm_async.py``), so a
+long request never stalls the batch and the chip never waits for stragglers.
+
+TPU specifics baked in:
+
+* the device never sees a dynamic shape — prefill calls are bucketed by
+  (request count, prompt length) over a fixed bucket ladder, so the jit
+  cache stays bounded;
+* decode runs in fixed-length ``lax.scan`` chunks (one dispatch per
+  ``decode_chunk_len`` tokens), amortizing host↔device round trips (on this
+  container's tunneled backend each dispatch costs ~60 ms RTT — the chunk
+  IS the throughput knob);
+* cache + slot state are donated on every call — the engine holds the only
+  reference, so XLA updates the multi-MB KV cache in place.
+"""
+from __future__ import annotations
+
+import itertools
+import threading
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rl_tpu.serve.engine import (
+    SamplingParams, ServeLM, decode_chunk, init_slot_cache, init_slot_state,
+    prefill,
+)
+
+__all__ = ["ServingEngine", "Request"]
+
+
+class Request:
+    """A submitted generation request; filled in on completion."""
+
+    _ids = itertools.count()
+
+    def __init__(self, prompt_ids: Sequence[int], params: SamplingParams):
+        self.id = next(Request._ids)
+        self.prompt_ids = [int(t) for t in prompt_ids]
+        self.params = params
+        self.tokens: list[int] | None = None     # generated tokens (stop incl.)
+        self.log_probs: np.ndarray | None = None
+        self._event = threading.Event()
+
+    @property
+    def done(self) -> bool:
+        return self._event.is_set()
+
+    def wait(self, timeout: float | None = None):
+        if not self._event.wait(timeout):
+            raise TimeoutError(f"request {self.id} not complete")
+        return self
+
+
+def _bucket_ladder(max_len: int, lo: int = 8) -> tuple[int, ...]:
+    out, b = [], lo
+    while b < max_len:
+        out.append(b)
+        b *= 2
+    out.append(max_len)
+    return tuple(out)
+
+
+class ServingEngine:
+    """Continuous-batching LLM server over ``n_slots`` device slots.
+
+    Synchronous use::
+
+        eng = ServingEngine(lm, params, n_slots=8, max_new_cap=64)
+        outs = eng.generate(list_of_prompt_id_lists, max_new_tokens=32,
+                            temperature=0.8, top_p=0.95)
+
+    Threaded use (drop-in conversation engine)::
+
+        eng.start()                       # background scheduler thread
+        req = eng.submit(prompt_ids, max_new_tokens=32)
+        req.wait()                        # req.tokens / req.log_probs
+
+    ``lm`` is the training-twin :class:`TransformerLM` (or a
+    :class:`ServeLM`); ``params`` its trained parameters (identical tree).
+    """
+
+    def __init__(self, lm, params, *, n_slots: int = 8,
+                 max_new_cap: int = 64, prefill_width: int = 4,
+                 decode_chunk_len: int = 16, n_stop: int = 4,
+                 pad_id: int = 0, seed: int = 0,
+                 prompt_buckets: Sequence[int] | None = None):
+        self.serve = lm if isinstance(lm, ServeLM) else ServeLM.from_lm(lm)
+        self.params = params
+        self.n_slots = int(n_slots)
+        self.max_new_cap = int(max_new_cap)
+        self.prefill_width = min(int(prefill_width), self.n_slots)
+        self.decode_chunk_len = int(decode_chunk_len)
+        self.n_stop = int(n_stop)
+        self.pad_id = int(pad_id)
+        self.max_len = self.serve.max_len
+        self.prompt_buckets = tuple(prompt_buckets) if prompt_buckets else \
+            _bucket_ladder(self.max_len)
+        self._key = jax.random.PRNGKey(seed)
+        self.cache = init_slot_cache(self.serve, self.n_slots)
+        self.state = init_slot_state(self.n_slots, self.max_len,
+                                     self.max_new_cap, n_stop=self.n_stop,
+                                     pad_id=self.pad_id)
+        self._queue: list[Request] = []
+        self._slot_req: dict[int, Request] = {}      # busy slot -> request
+        self._lock = threading.Lock()
+        self._running = False
+        self._thread: threading.Thread | None = None
+        # stats
+        self.decode_steps = 0
+        self.prefill_calls = 0
+        self.tokens_generated = 0
+
+        serve = self.serve
+        n = self.decode_chunk_len
+        self._decode_fn = jax.jit(
+            lambda p, c, s, k: decode_chunk(serve, p, c, s, k, n),
+            donate_argnums=(1, 2))
+        self._prefill_fns: dict[tuple[int, int], Any] = {}
+
+    # -- client API ---------------------------------------------------------
+    def submit(self, prompt_ids: Sequence[int], *, max_new_tokens: int,
+               **sampling) -> Request:
+        sp = SamplingParams(max_new_tokens=max_new_tokens, **sampling)
+        if sp.max_new_tokens > self.max_new_cap:
+            raise ValueError(
+                f"max_new_tokens={sp.max_new_tokens} > max_new_cap="
+                f"{self.max_new_cap}")
+        if len(prompt_ids) + sp.max_new_tokens > self.max_len:
+            raise ValueError(
+                f"prompt ({len(prompt_ids)}) + max_new ({sp.max_new_tokens}) "
+                f"exceeds max_len={self.max_len}")
+        if not prompt_ids:
+            raise ValueError("empty prompt")
+        req = Request(prompt_ids, sp)
+        with self._lock:
+            self._queue.append(req)
+        return req
+
+    def generate(self, prompts: Sequence[Sequence[int]], *,
+                 max_new_tokens: int, **sampling) -> list[Request]:
+        """Blocking batch API: submit all, run the scheduler to completion."""
+        reqs = [self.submit(p, max_new_tokens=max_new_tokens, **sampling)
+                for p in prompts]
+        if self._thread is None:
+            self.run_until_complete()
+        else:
+            for r in reqs:
+                r.wait()
+        return reqs
+
+    def update_weights(self, params) -> None:
+        self.params = params
+
+    # -- scheduler ----------------------------------------------------------
+    def _free_slots(self) -> list[int]:
+        return [s for s in range(self.n_slots) if s not in self._slot_req]
+
+    def _admit(self) -> bool:
+        """Prefill up to ``prefill_width`` queued requests into free slots.
+        Returns True if any request was admitted."""
+        with self._lock:
+            free = self._free_slots()
+            take = min(len(self._queue), len(free), self.prefill_width)
+            if take == 0:
+                return False
+            batch = self._queue[:take]
+            del self._queue[:take]
+        K = self.prefill_width
+        plens = [len(r.prompt_ids) for r in batch]
+        P = next(b for b in self.prompt_buckets if b >= max(plens))
+        prompts = np.full((K, P), self.pad_id, np.int32)
+        plen_arr = np.ones(K, np.int32)
+        valid = np.zeros(K, bool)
+        rows = {k: [] for k in ("max_new", "temperature", "top_k", "top_p",
+                                "min_p", "repetition_penalty", "stop")}
+        dummy = SamplingParams(max_new_tokens=1).as_row(self.n_stop)
+        slot_ids = np.zeros(K, np.int32)
+        # padding rows use distinct remaining slot ids (unique-per-call
+        # contract of the scatter; masked rows write back current values)
+        pad_slots = [s for s in range(self.n_slots)
+                     if s not in free[:take]][: K - take]
+        for i in range(K):
+            if i < take:
+                r = batch[i]
+                prompts[i, : plens[i]] = r.prompt_ids
+                plen_arr[i] = plens[i]
+                valid[i] = True
+                slot_ids[i] = free[i]
+                row = r.params.as_row(self.n_stop)
+                self._slot_req[free[i]] = r
+            else:
+                slot_ids[i] = pad_slots[i - take]
+                row = dummy
+            for k in rows:
+                rows[k].append(row[k])
+        req_td = {k: np.stack(v) if k == "stop" else np.asarray(v)
+                  for k, v in rows.items()}
+        fn = self._prefill_fns.get((K, P))
+        if fn is None:
+            serve = self.serve
+            fn = jax.jit(
+                lambda p, c, s, sid, pr, pl, rq, ky, va: prefill(
+                    serve, p, c, s, sid, pr, pl, rq, ky, valid=va),
+                donate_argnums=(1, 2))
+            self._prefill_fns[(K, P)] = fn
+        self._key, k = jax.random.split(self._key)
+        self.cache, self.state = fn(self.params, self.cache, self.state,
+                                    slot_ids, prompts, plen_arr, req_td, k,
+                                    valid)
+        self.prefill_calls += 1
+        return True
+
+    def _decode(self) -> None:
+        self._key, k = jax.random.split(self._key)
+        self.cache, self.state = self._decode_fn(self.params, self.cache,
+                                                 self.state, k)
+        self.decode_steps += self.decode_chunk_len
+
+    def _harvest(self) -> int:
+        """Complete finished requests; returns how many were harvested."""
+        if not self._slot_req:
+            return 0
+        done, gen = jax.device_get((self.state["done"],
+                                    self.state["gen_count"]))
+        finished = [s for s in self._slot_req if done[s]]
+        if not finished:
+            return 0
+        idx = jnp.asarray(finished, jnp.int32)
+        toks, lps = jax.device_get((jnp.take(self.state["tokens"], idx, 0),
+                                    jnp.take(self.state["lps"], idx, 0)))
+        for j, s in enumerate(finished):
+            r = self._slot_req.pop(s)
+            g = int(gen[s])
+            p0 = len(r.prompt_ids)
+            r.tokens = [int(t) for t in toks[j, p0: p0 + g]]
+            r.log_probs = np.asarray(lps[j, :g], np.float32)
+            self.tokens_generated += g
+            r._event.set()
+        return len(finished)
+
+    def step(self) -> bool:
+        """One scheduler iteration.  Returns False when fully idle."""
+        admitted = self._admit()
+        if self._slot_req:
+            self._decode()
+            self._harvest()
+            return True
+        return admitted
+
+    def run_until_complete(self) -> None:
+        while self.step():
+            pass
+
+    # -- background mode ----------------------------------------------------
+    def start(self) -> None:
+        if self._thread is not None:
+            return
+        self._running = True
+
+        def loop():
+            import time
+            while self._running:
+                if not self.step():
+                    time.sleep(0.001)
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+
+    def close(self) -> None:
+        self._running = False
+        if self._thread is not None:
+            self._thread.join(timeout=2.0)
+            self._thread = None

@@ -1,0 +1,309 @@
+"""Native LLM serving engine (rl_tpu.serve) — the vLLM-analogue layer.
+
+Covers: param-tree compatibility with TransformerLM, ragged parallel
+prefill, chunked decode equivalence vs full-forward greedy, per-slot
+sampling controls (top-k / top-p / min-p / repetition penalty / stop
+tokens), multi-turn continuation prefill over a live cache, and host-side
+continuous batching (more requests than slots).
+
+Reference surface: vLLM SamplingParams + engine scheduling
+(/root/reference/torchrl/modules/llm/backends/vllm/vllm_async.py:176,504).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rl_tpu.modules.transformer import TransformerLM
+from rl_tpu.serve import (
+    Request, SamplingParams, ServeLM, ServingEngine, decode_chunk,
+    init_slot_cache, init_slot_state, prefill, sample_from_logits,
+)
+
+
+@pytest.fixture(scope="module")
+def lm_and_params():
+    lm = TransformerLM(vocab_size=50, n_layers=2, n_heads=2, d_model=32,
+                       max_len=64)
+    params = lm.init(jax.random.PRNGKey(0),
+                     jnp.zeros((1, 4), jnp.int32))["params"]
+    return lm, params
+
+
+def _req_rows(n, sp: SamplingParams, n_stop=4):
+    row = sp.as_row(n_stop)
+    return {k: (np.stack([v] * n) if k == "stop" else np.full(n, v))
+            for k, v in row.items()}
+
+
+def _greedy_ref(lm, params, prompt, n):
+    seq = list(map(int, prompt))
+    for _ in range(n):
+        lg = lm.apply({"params": params}, jnp.asarray([seq]))
+        seq.append(int(lg[0, -1].argmax()))
+    return seq[len(prompt):]
+
+
+class TestServeLM:
+    def test_param_tree_identical(self, lm_and_params):
+        lm, params = lm_and_params
+        serve = ServeLM.from_lm(lm)
+        cache = init_slot_cache(serve, 2)
+        sp = serve.init(jax.random.PRNGKey(1), jnp.zeros((2, 3), jnp.int32),
+                        cache, jnp.zeros(2, jnp.int32))["params"]
+        assert jax.tree.structure(sp) == jax.tree.structure(params)
+        assert all(a.shape == b.shape for a, b in
+                   zip(jax.tree.leaves(sp), jax.tree.leaves(params)))
+
+    def test_full_forward_matches_training_twin(self, lm_and_params):
+        lm, params = lm_and_params
+        serve = ServeLM.from_lm(lm)
+        toks = jax.random.randint(jax.random.PRNGKey(1), (3, 12), 0, 50)
+        ref = lm.apply({"params": params}, toks)
+        got, _ = serve.apply({"params": params}, toks,
+                             init_slot_cache(serve, 3),
+                             jnp.zeros(3, jnp.int32))
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                                   atol=1e-5)
+        assert (ref.argmax(-1) == got.argmax(-1)).all()
+
+    def test_ragged_prefill_greedy_decode_exact(self, lm_and_params):
+        """Left-aligned ragged prompts + chunked decode == per-row
+        full-forward greedy (the ``lm_generate_cached`` fixed-length
+        restriction does not apply here)."""
+        lm, params = lm_and_params
+        serve = ServeLM.from_lm(lm)
+        S, G = 4, 6
+        cache = init_slot_cache(serve, S)
+        state = init_slot_state(S, lm.max_len, max_new_cap=8)
+        plens = np.array([3, 7, 2, 5])
+        prompts = np.zeros((S, 7), np.int32)
+        rng = np.random.RandomState(0)
+        for i, pl in enumerate(plens):
+            prompts[i, :pl] = rng.randint(1, 50, pl)
+        req = _req_rows(S, SamplingParams(max_new_tokens=G, temperature=0.0))
+        cache, state = prefill(serve, params, cache, state, np.arange(S),
+                               prompts, plens, req, jax.random.PRNGKey(2))
+        cache, state = decode_chunk(serve, params, cache, state,
+                                    jax.random.PRNGKey(3), G - 1)
+        assert bool(state["done"].all())
+        for i in range(S):
+            got = list(map(int, state["tokens"][i, plens[i]:plens[i] + G]))
+            assert got == _greedy_ref(lm, params, prompts[i, :plens[i]], G)
+            # behaviour lps are finite and as long as the generation
+            assert np.isfinite(np.asarray(state["lps"][i, :G])).all()
+
+    def test_multiturn_continuation_prefill(self, lm_and_params):
+        """start>0 prefill appends a second turn over the slot's existing
+        cache (prefix reuse) — equal to prefilling the concatenation."""
+        lm, params = lm_and_params
+        serve = ServeLM.from_lm(lm)
+        t1 = np.array([[5, 9, 13]], np.int32)
+        t2 = np.array([[21, 2]], np.int32)
+        req = _req_rows(1, SamplingParams(max_new_tokens=4, temperature=0.0))
+
+        cache = init_slot_cache(serve, 1)
+        state = init_slot_state(1, lm.max_len, max_new_cap=8)
+        cache, state = prefill(serve, params, cache, state, [0], t1,
+                               np.array([3]), req, jax.random.PRNGKey(0))
+        cache, state = decode_chunk(serve, params, cache, state,
+                                    jax.random.PRNGKey(1), 3)
+        mid = int(state["length"][0])   # 3 prompt + 4 generated
+        assert mid == 7
+        # second turn continues at the current frontier
+        cache, state = prefill(serve, params, cache, state, [0], t2,
+                               np.array([2]), req, jax.random.PRNGKey(2),
+                               start=state["length"])
+        cache, state = decode_chunk(serve, params, cache, state,
+                                    jax.random.PRNGKey(3), 3)
+        full_ctx = list(map(int, state["tokens"][0, :9]))
+        got = list(map(int, state["tokens"][0, 9:13]))
+        assert got == _greedy_ref(lm, params, full_ctx, 4)
+
+    def test_decode_idempotent_for_done_slots(self, lm_and_params):
+        """Extra decode chunks after done leave tokens/lps unchanged."""
+        lm, params = lm_and_params
+        serve = ServeLM.from_lm(lm)
+        cache = init_slot_cache(serve, 2)
+        state = init_slot_state(2, lm.max_len, max_new_cap=8)
+        prompts = np.array([[4, 7], [9, 1]], np.int32)
+        req = _req_rows(2, SamplingParams(max_new_tokens=3, temperature=0.0))
+        cache, state = prefill(serve, params, cache, state, [0, 1], prompts,
+                               np.array([2, 2]), req, jax.random.PRNGKey(0))
+        cache, state = decode_chunk(serve, params, cache, state,
+                                    jax.random.PRNGKey(1), 4)
+        snap_t = np.asarray(state["tokens"])
+        snap_l = np.asarray(state["lps"])
+        cache, state = decode_chunk(serve, params, cache, state,
+                                    jax.random.PRNGKey(2), 4)
+        np.testing.assert_array_equal(snap_t, np.asarray(state["tokens"]))
+        np.testing.assert_array_equal(snap_l, np.asarray(state["lps"]))
+
+    def test_bucket_padding_rows_do_not_corrupt_live_slots(self,
+                                                           lm_and_params):
+        """An invalid (bucket-padding) prefill row targeting a busy slot
+        must not disturb that slot's in-flight request."""
+        lm, params = lm_and_params
+        serve = ServeLM.from_lm(lm)
+        cache = init_slot_cache(serve, 2)
+        state = init_slot_state(2, lm.max_len, max_new_cap=8)
+        req1 = _req_rows(1, SamplingParams(max_new_tokens=6, temperature=0.0))
+        p0 = np.array([[3, 8, 11]], np.int32)
+        cache, state = prefill(serve, params, cache, state, [0], p0,
+                               np.array([3]), req1, jax.random.PRNGKey(0))
+        cache, state = decode_chunk(serve, params, cache, state,
+                                    jax.random.PRNGKey(1), 2)
+        # admit a request into slot 1; the padding row targets busy slot 0
+        req2 = _req_rows(2, SamplingParams(max_new_tokens=4, temperature=0.0))
+        prompts = np.array([[6, 2], [0, 0]], np.int32)
+        cache, state = prefill(serve, params, cache, state, [1, 0], prompts,
+                               np.array([2, 1]), req2, jax.random.PRNGKey(2),
+                               valid=np.array([True, False]))
+        cache, state = decode_chunk(serve, params, cache, state,
+                                    jax.random.PRNGKey(3), 5)
+        got0 = list(map(int, state["tokens"][0, 3:9]))
+        assert got0 == _greedy_ref(lm, params, p0[0, :3], 6)
+        got1 = list(map(int, state["tokens"][1, 2:6]))
+        assert got1 == _greedy_ref(lm, params, prompts[0, :2], 4)
+
+
+class TestSampling:
+    def _state(self, **over):
+        s = init_slot_state(2, 8, 4)
+        s = s.update({"active": jnp.ones(2, bool),
+                      "length": jnp.ones(2, jnp.int32)})
+        return s.update({k: jnp.asarray(v) for k, v in over.items()})
+
+    def test_top_k_restricts_support(self):
+        logits = jnp.asarray([[0., 1., 2., 3., 4.],
+                              [0., 1., 2., 3., 4.]])
+        state = self._state(top_k=np.array([2, 0], np.int32))
+        toks = set()
+        for i in range(64):
+            t, _ = sample_from_logits(logits, state,
+                                      jax.random.PRNGKey(i))
+            toks.add(int(t[0]))
+        assert toks <= {3, 4}
+
+    def test_top_p_restricts_support(self):
+        # probs ~ softmax([0,0,0,8]) — top token carries ~.999 mass
+        logits = jnp.asarray([[0., 0., 0., 8.]] * 2)
+        state = self._state(top_p=np.array([0.5, 1.0], np.float32))
+        for i in range(32):
+            t, _ = sample_from_logits(logits, state, jax.random.PRNGKey(i))
+            assert int(t[0]) == 3
+
+    def test_min_p_restricts_support(self):
+        logits = jnp.asarray([[0., 2., 4., 4.01]] * 2)
+        state = self._state(min_p=np.array([0.5, 0.0], np.float32))
+        for i in range(32):
+            t, _ = sample_from_logits(logits, state, jax.random.PRNGKey(i))
+            assert int(t[0]) in (2, 3)   # only tokens with p >= .5*pmax
+
+    def test_greedy_vs_sampled_and_lps(self):
+        logits = jnp.asarray([[0., 1., 5., 2.]] * 2)
+        state = self._state(temperature=np.array([0.0, 1.0], np.float32))
+        t, lp = sample_from_logits(logits, state, jax.random.PRNGKey(0))
+        assert int(t[0]) == 2
+        expect = float(jax.nn.log_softmax(logits[0])[2])
+        assert abs(float(lp[0]) - expect) < 1e-5
+
+    def test_repetition_penalty_discourages_seen(self):
+        # token 1 already in context; with a huge penalty its positive
+        # logit collapses and argmax moves to token 2
+        state = self._state(
+            temperature=np.array([0.0, 0.0], np.float32),
+            repetition_penalty=np.array([50.0, 1.0], np.float32),
+            tokens=np.tile(np.array([1, 0, 0, 0, 0, 0, 0, 0], np.int32),
+                           (2, 1)),
+            length=np.array([1, 1], np.int32))
+        logits = jnp.asarray([[0., 3., 2.9, 0.]] * 2)
+        t, _ = sample_from_logits(logits, state, jax.random.PRNGKey(0))
+        assert int(t[0]) == 2      # penalized
+        assert int(t[1]) == 1      # pen=1 → untouched
+
+    def test_sampled_frequencies_match_distribution(self):
+        logits = jnp.tile(jnp.asarray([[0.0, 1.0, 2.0]]), (1, 1))
+        state = init_slot_state(1, 8, 4).update(
+            {"active": jnp.ones(1, bool), "length": jnp.ones(1, jnp.int32)})
+        probs = np.asarray(jax.nn.softmax(logits[0]))
+        counts = np.zeros(3)
+        n = 600
+        for i in range(n):
+            t, lp = sample_from_logits(logits, state, jax.random.PRNGKey(i))
+            counts[int(t[0])] += 1
+            assert abs(float(lp[0]) - np.log(probs[int(t[0])])) < 1e-5
+        np.testing.assert_allclose(counts / n, probs, atol=0.06)
+
+
+class TestServingEngine:
+    def test_continuous_batching_exact(self, lm_and_params):
+        lm, params = lm_and_params
+        eng = ServingEngine(lm, params, n_slots=3, max_new_cap=12,
+                            prefill_width=2, decode_chunk_len=4, seed=7)
+        rng = np.random.RandomState(1)
+        prompts = [list(rng.randint(1, 50, rng.randint(2, 10)))
+                   for _ in range(8)]
+        reqs = eng.generate(prompts, max_new_tokens=8, temperature=0.0)
+        assert all(r.done for r in reqs)
+        for r in reqs:
+            assert r.tokens == _greedy_ref(lm, params, r.prompt_ids, 8)
+            assert len(r.log_probs) == 8
+        # slots were reused: 8 requests > 3 slots
+        assert eng.prefill_calls >= 4
+        assert eng.tokens_generated == 64
+
+    def test_stop_token_halts_generation(self, lm_and_params):
+        lm, params = lm_and_params
+        eng = ServingEngine(lm, params, n_slots=2, max_new_cap=12,
+                            decode_chunk_len=4)
+        prompt = [5, 9, 13]
+        full = _greedy_ref(lm, params, prompt, 8)
+        stop = full[3]
+        [r] = eng.generate([prompt], max_new_tokens=8, temperature=0.0,
+                           stop=(stop,))
+        first = full.index(stop)
+        assert r.tokens == full[: first + 1]     # stop token recorded
+        assert len(r.log_probs) == len(r.tokens)
+
+    def test_heterogeneous_sampling_per_request(self, lm_and_params):
+        """Requests with different temperature/top_k coexist in one batch."""
+        lm, params = lm_and_params
+        eng = ServingEngine(lm, params, n_slots=4, max_new_cap=8,
+                            prefill_width=4, decode_chunk_len=4, seed=3)
+        eng.start()
+        try:
+            greedy = eng.submit([4, 7, 2], max_new_tokens=6, temperature=0.0)
+            hot = eng.submit([4, 7, 2], max_new_tokens=6, temperature=1.5,
+                             top_k=10)
+            greedy.wait(30)
+            hot.wait(30)
+        finally:
+            eng.close()
+        assert greedy.tokens == _greedy_ref(lm, params, [4, 7, 2], 6)
+        assert len(hot.tokens) == 6
+
+    def test_submit_validation(self, lm_and_params):
+        lm, params = lm_and_params
+        eng = ServingEngine(lm, params, n_slots=2, max_new_cap=4)
+        with pytest.raises(ValueError):
+            eng.submit([1, 2], max_new_tokens=9)           # > cap
+        with pytest.raises(ValueError):
+            eng.submit(list(range(62)), max_new_tokens=4)  # > max_len
+        with pytest.raises(ValueError):
+            eng.submit([], max_new_tokens=2)
+
+    def test_update_weights_changes_output(self, lm_and_params):
+        lm, params = lm_and_params
+        eng = ServingEngine(lm, params, n_slots=2, max_new_cap=8)
+        [a] = eng.generate([[3, 1, 4]], max_new_tokens=6, temperature=0.0)
+        p2 = jax.tree.map(lambda x: x * 1.5, params)
+        eng.update_weights(p2)
+        [b] = eng.generate([[3, 1, 4]], max_new_tokens=6, temperature=0.0)
+        assert b.tokens == _greedy_ref(lm, p2, [3, 1, 4], 6)
+        assert a.tokens == _greedy_ref(lm, params, [3, 1, 4], 6)
+
+    def test_request_ids_monotonic(self):
+        a = Request([1], SamplingParams(max_new_tokens=1))
+        b = Request([1], SamplingParams(max_new_tokens=1))
+        assert b.id == a.id + 1
