@@ -238,6 +238,59 @@ def init_slot_state(n_slots: int, max_len: int, max_new_cap: int,
     )
 
 
+def _filtered_logits(logits, temp, top_k, top_p, min_p):
+    """Temperature + top-k/top-p/min-p filter pipeline over [N, V] logits
+    with per-row parameters.  Returns ``(masked [N, V], greedy [N])`` —
+    ``masked`` is the temperature-scaled logits with filtered entries at a
+    large negative (softmax of it IS the sampling distribution);
+    ``greedy`` rows (temp<=0) are left unscaled/unfiltered (their sampling
+    law is the argmax one-hot)."""
+    N, V = logits.shape
+    greedy = temp <= 0.0
+    scaled = logits / jnp.where(greedy, 1.0, temp)[:, None]
+
+    # sorted-order thresholds (per-row k/p need value cutoffs, not lax.top_k)
+    sort_desc = -jnp.sort(-scaled, axis=-1)                    # [N, V]
+    probs = jax.nn.softmax(sort_desc, -1)
+    csum = jnp.cumsum(probs, -1)
+    k_eff = jnp.where((top_k <= 0) | (top_k > V), V, top_k)
+    k_thresh = sort_desc[jnp.arange(N), k_eff - 1]
+    # top-p: keep the smallest prefix whose mass reaches p (first always kept)
+    keep_sorted = (csum - probs) < top_p[:, None]
+    n_keep = jnp.maximum(keep_sorted.sum(-1), 1)
+    p_thresh = sort_desc[jnp.arange(N), n_keep - 1]
+    # min-p: prob >= min_p * p_max  ⇔  logit >= log(min_p) + max_logit
+    mp_thresh = jnp.where(
+        min_p > 0,
+        jnp.log(jnp.maximum(min_p, 1e-30)) + sort_desc[:, 0], -jnp.inf)
+    thresh = jnp.maximum(jnp.maximum(k_thresh, p_thresh), mp_thresh)
+    keep = scaled >= thresh[:, None]
+    masked = jnp.where(keep, scaled, _NEG)
+    return jnp.where(greedy[:, None], scaled, masked), greedy
+
+
+def _sampling_probs(masked, greedy):
+    """The actual per-row sampling distribution as probs [N, V]: softmax of
+    the filtered logits, or the argmax one-hot for greedy rows."""
+    probs = jax.nn.softmax(masked, -1)
+    one_hot = jax.nn.one_hot(jnp.argmax(masked, -1), masked.shape[-1],
+                             dtype=probs.dtype)
+    return jnp.where(greedy[:, None], one_hot, probs)
+
+
+def _apply_repetition_penalty(logits, pen, tokens, length):
+    """HF-convention context penalty: for tokens already in the slot's
+    context (prompt + generated), positive logits divided by ``pen``,
+    negative multiplied."""
+    K, V = logits.shape
+    valid = jnp.arange(tokens.shape[1])[None] < length[:, None]
+    seen = jnp.zeros((K, V), bool).at[
+        jnp.arange(K)[:, None], jnp.clip(tokens, 0, V - 1)].max(valid)
+    pen = pen[:, None]
+    penalized = jnp.where(logits > 0, logits / pen, logits * pen)
+    return jnp.where(seen & (pen != 1.0), penalized, logits)
+
+
 def sample_from_logits(logits, state: TDict, key, slot_ids=None):
     """Per-slot sampling: repetition penalty → temperature → top-k/top-p/
     min-p filters → categorical (or argmax when temperature==0).
@@ -250,44 +303,15 @@ def sample_from_logits(logits, state: TDict, key, slot_ids=None):
     """
     take = (lambda x: x) if slot_ids is None else (lambda x: x[slot_ids])
     logits = jnp.asarray(logits, jnp.float32)
-    K, V = logits.shape
-    tokens, length = take(state["tokens"]), take(state["length"])
-    # repetition penalty over the slot's full context (prompt + generated),
-    # HF convention: positive logits divided, negative multiplied
-    pen = take(state["repetition_penalty"])[:, None]
-    valid = jnp.arange(tokens.shape[1])[None] < length[:, None]
-    seen = jnp.zeros((K, V), bool).at[
-        jnp.arange(K)[:, None], jnp.clip(tokens, 0, V - 1)].max(valid)
-    penalized = jnp.where(logits > 0, logits / pen, logits * pen)
-    logits = jnp.where(seen & (pen != 1.0), penalized, logits)
-
+    logits = _apply_repetition_penalty(
+        logits, take(state["repetition_penalty"]), take(state["tokens"]),
+        take(state["length"]))
     raw_lp = jax.nn.log_softmax(logits, -1)
-    temp = take(state["temperature"])
-    greedy = temp <= 0.0
-    scaled = logits / jnp.where(greedy, 1.0, temp)[:, None]
-
-    # sorted-order thresholds (per-slot k/p need value cutoffs, not lax.top_k)
-    sort_desc = -jnp.sort(-scaled, axis=-1)                    # [K, V]
-    probs = jax.nn.softmax(sort_desc, -1)
-    csum = jnp.cumsum(probs, -1)
-    k = take(state["top_k"])
-    k_eff = jnp.where((k <= 0) | (k > V), V, k)
-    k_thresh = sort_desc[jnp.arange(K), k_eff - 1]
-    p = take(state["top_p"])
-    # keep the smallest prefix whose mass reaches p (first token always kept)
-    keep_sorted = (csum - probs) < p[:, None]
-    n_keep = jnp.maximum(keep_sorted.sum(-1), 1)
-    p_thresh = sort_desc[jnp.arange(K), n_keep - 1]
-    mp = take(state["min_p"])
-    # prob >= min_p * p_max  ⇔  logit >= log(min_p) + max_logit
-    mp_thresh = jnp.where(
-        mp > 0, jnp.log(jnp.maximum(mp, 1e-30)) + sort_desc[:, 0], -jnp.inf)
-    thresh = jnp.maximum(jnp.maximum(k_thresh, p_thresh), mp_thresh)
-    keep = scaled >= thresh[:, None]
-    masked = jnp.where(keep, scaled, _NEG)
-
+    masked, greedy = _filtered_logits(
+        logits, take(state["temperature"]), take(state["top_k"]),
+        take(state["top_p"]), take(state["min_p"]))
     sampled = jax.random.categorical(key, masked, -1)
-    tok = jnp.where(greedy, jnp.argmax(scaled, -1), sampled).astype(jnp.int32)
+    tok = jnp.where(greedy, jnp.argmax(masked, -1), sampled).astype(jnp.int32)
     lp_masked = jnp.take_along_axis(
         jax.nn.log_softmax(masked, -1), tok[:, None], 1)[:, 0]
     lp_raw = jnp.take_along_axis(raw_lp, tok[:, None], 1)[:, 0]

@@ -91,7 +91,8 @@ class ServingEngine:
                  max_new_cap: int = 64, prefill_width: int = 4,
                  decode_chunk_len: int = 16, n_stop: int = 4,
                  pad_id: int = 0, seed: int = 0,
-                 prompt_buckets: Sequence[int] | None = None):
+                 prompt_buckets: Sequence[int] | None = None,
+                 draft: tuple | None = None, gamma: int = 4):
         self.serve = lm if isinstance(lm, ServeLM) else ServeLM.from_lm(lm)
         self.params = params
         self.n_slots = int(n_slots)
@@ -120,10 +121,34 @@ class ServingEngine:
 
         serve = self.serve
         n = self.decode_chunk_len
-        self._decode_fn = jax.jit(
-            lambda p, c, s, k: decode_chunk(serve, p, c, s, k, n),
-            donate_argnums=(1, 2))
         self._prefill_fns: dict[tuple[int, int], Any] = {}
+        self._draft_prefill_fns: dict[tuple[int, int], Any] = {}
+
+        # speculative decoding: draft = (draft_lm, draft_params)
+        self.gamma = int(gamma)
+        if draft is not None:
+            from rl_tpu.serve.speculative import speculative_decode_chunk
+            draft_lm, self.draft_params = draft
+            self.draft_serve = draft_lm if isinstance(draft_lm, ServeLM) \
+                else ServeLM.from_lm(draft_lm)
+            if self.draft_serve.vocab_size != self.serve.vocab_size:
+                raise ValueError("draft vocab != target vocab")
+            self.draft_cache = init_slot_cache(self.draft_serve, self.n_slots)
+            serve_d = self.draft_serve
+            g = self.gamma
+            rounds = max(1, n // (g + 1))
+            self._spec_rounds = rounds
+            self._spec_fn = jax.jit(
+                lambda pt, pd, ct, cd, s, k: speculative_decode_chunk(
+                    serve, serve_d, pt, pd, ct, cd, s, k, rounds, g),
+                donate_argnums=(2, 3, 4))
+            self._spec_tokens_dev = jnp.zeros((), jnp.int32)
+            self._spec_live_rounds_dev = jnp.zeros((), jnp.int32)
+        else:
+            self.draft_serve = None
+            self._decode_fn = jax.jit(
+                lambda p, c, s, k: decode_chunk(serve, p, c, s, k, n),
+                donate_argnums=(1, 2))
 
     # -- client API ---------------------------------------------------------
     def submit(self, prompt_ids: Sequence[int], *, max_new_tokens: int,
@@ -133,12 +158,19 @@ class ServingEngine:
             raise ValueError(
                 f"max_new_tokens={sp.max_new_tokens} > max_new_cap="
                 f"{self.max_new_cap}")
-        if len(prompt_ids) + sp.max_new_tokens > self.max_len:
+        margin = self.gamma if self.draft_serve is not None else 0
+        if len(prompt_ids) + sp.max_new_tokens + margin > self.max_len:
             raise ValueError(
                 f"prompt ({len(prompt_ids)}) + max_new ({sp.max_new_tokens}) "
-                f"exceeds max_len={self.max_len}")
+                f"+ speculative margin ({margin}) exceeds "
+                f"max_len={self.max_len}")
         if not prompt_ids:
             raise ValueError("empty prompt")
+        if self.draft_serve is not None and sp.repetition_penalty != 1.0:
+            raise ValueError(
+                "repetition_penalty is not supported with speculative "
+                "decoding (penalty at position i depends on tokens committed "
+                "earlier in the same verify window)")
         req = Request(prompt_ids, sp)
         with self._lock:
             self._queue.append(req)
@@ -158,6 +190,22 @@ class ServingEngine:
 
     def update_weights(self, params) -> None:
         self.params = params
+
+    def update_draft_weights(self, params) -> None:
+        if self.draft_serve is None:
+            raise RuntimeError("engine has no draft model")
+        self.draft_params = params
+
+    @property
+    def spec_acceptance(self) -> float:
+        """Mean tokens committed per live (slot, round) pair — the true
+        per-sequence acceptance rate in 1..gamma+1, i.e. the speculative
+        speedup factor over plain decode."""
+        if self.draft_serve is None:
+            return float("nan")
+        toks, rounds = jax.device_get((self._spec_tokens_dev,
+                                       self._spec_live_rounds_dev))
+        return float(toks) / max(int(rounds), 1)
 
     # -- scheduler ----------------------------------------------------------
     def _free_slots(self) -> list[int]:
@@ -215,14 +263,36 @@ class ServingEngine:
         self.cache, self.state = fn(self.params, self.cache, self.state,
                                     slot_ids, prompts, plen_arr, req_td, k,
                                     valid)
+        if self.draft_serve is not None:
+            dfn = self._draft_prefill_fns.get((K, P))
+            if dfn is None:
+                from rl_tpu.serve.speculative import draft_prefill
+                serve_d = self.draft_serve
+                dfn = jax.jit(
+                    lambda p, c, sid, pr, va: draft_prefill(
+                        serve_d, p, c, sid, pr, va),
+                    donate_argnums=(1,))
+                self._draft_prefill_fns[(K, P)] = dfn
+            self.draft_cache = dfn(self.draft_params, self.draft_cache,
+                                   slot_ids, prompts, valid)
         self.prefill_calls += 1
         return True
 
     def _decode(self) -> None:
         self._key, k = jax.random.split(self._key)
-        self.cache, self.state = self._decode_fn(self.params, self.cache,
-                                                 self.state, k)
-        self.decode_steps += self.decode_chunk_len
+        if self.draft_serve is not None:
+            (self.cache, self.draft_cache, self.state, eff,
+             live_rounds) = self._spec_fn(
+                self.params, self.draft_params, self.cache, self.draft_cache,
+                self.state, k)
+            self._spec_tokens_dev = self._spec_tokens_dev + eff
+            self._spec_live_rounds_dev = (self._spec_live_rounds_dev
+                                          + live_rounds)
+            self.decode_steps += self._spec_rounds
+        else:
+            self.cache, self.state = self._decode_fn(self.params, self.cache,
+                                                     self.state, k)
+            self.decode_steps += self.decode_chunk_len
 
     def _harvest(self) -> int:
         """Complete finished requests; returns how many were harvested."""
