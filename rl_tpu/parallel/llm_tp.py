@@ -23,7 +23,8 @@ import jax
 import jax.tree_util as jtu
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["lm_tp_spec", "shard_lm_params", "shard_lm_cache"]
+__all__ = ["lm_tp_spec", "shard_lm_params", "shard_lm_cache",
+           "shard_serve_cache"]
 
 
 def lm_tp_spec(path: str, leaf, tp_size: int, axis: str = "tp") -> P:
@@ -96,3 +97,20 @@ def shard_lm_cache(cache, mesh: Mesh, axis: str = "tp"):
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jtu.tree_map_with_path(place, cache)
+
+
+def shard_serve_cache(cache, mesh: Mesh, axis: str = "tp"):
+    """Place the serving engine's explicit KV cache
+    (:func:`rl_tpu.serve.init_slot_cache` — per-layer ``(k, v)`` arrays
+    ``[S, L, H, dh]``) tensor-parallel over the heads dim, matching the
+    column-parallel qkv rules.  With :func:`shard_lm_params` this runs the
+    continuous-batching engine TP-sharded with no code changes."""
+    tp_size = mesh.shape[axis]
+
+    def place(leaf):
+        spec = P()
+        if leaf.ndim == 4 and leaf.shape[2] % tp_size == 0:
+            spec = P(None, None, axis, None)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree.map(place, cache)

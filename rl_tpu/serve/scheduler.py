@@ -329,6 +329,27 @@ class ServingEngine:
         while self.step():
             pass
 
+    # -- collector integration ----------------------------------------------
+    def as_chat_engine(self, encode, decode, *, max_new_tokens: int,
+                       **sampling):
+        """Adapt to the ChatEnv engine protocol the LLM collectors expect
+        (``engine(history) -> (text, token_ids, log_probs)`` —
+        rl_tpu.collectors.llm).  ``encode(history) -> list[int]`` and
+        ``decode(token_ids) -> str`` are the caller's tokenizer hooks.
+        Starts the background scheduler; N conversation workers submitting
+        concurrently coalesce through continuous batching (this replaces
+        the fixed-batch InferenceServer pattern in sota/grpo_10m.py)."""
+        self.start()
+
+        def engine(history):
+            req = self.submit(encode(history),
+                              max_new_tokens=max_new_tokens, **sampling)
+            req.wait()
+            return decode(req.tokens), np.asarray(req.tokens, np.int32), \
+                np.asarray(req.log_probs)
+
+        return engine
+
     # -- background mode ----------------------------------------------------
     def start(self) -> None:
         if self._thread is not None:

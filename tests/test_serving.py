@@ -307,3 +307,74 @@ class TestServingEngine:
         a = Request([1], SamplingParams(max_new_tokens=1))
         b = Request([1], SamplingParams(max_new_tokens=1))
         assert b.id == a.id + 1
+
+
+class TestServingParallel:
+    def test_tp_sharded_serving_decode_equals_unsharded(self, lm_and_params):
+        """ServeLM's param tree is identical to TransformerLM's, so the
+        Megatron TP rules (parallel/llm_tp.py) apply unchanged; the
+        explicit KV cache shards on the heads dim (shard_serve_cache).
+        Greedy continuous decode over a tp=2 mesh must equal unsharded."""
+        from rl_tpu.parallel import make_mesh, shard_lm_params
+        from rl_tpu.parallel.llm_tp import shard_serve_cache
+
+        lm, params = lm_and_params
+        serve = ServeLM.from_lm(lm)
+        S, G = 2, 6
+        plens = np.array([3, 5])
+        prompts = np.zeros((S, 5), np.int32)
+        rng = np.random.RandomState(2)
+        for i, pl in enumerate(plens):
+            prompts[i, :pl] = rng.randint(1, 50, pl)
+        req = _req_rows(S, SamplingParams(max_new_tokens=G, temperature=0.0))
+
+        def run(params_in, cache_in):
+            cache, state = prefill(serve, params_in, cache_in,
+                                   init_slot_state(S, lm.max_len, 8),
+                                   np.arange(S), prompts, plens, req,
+                                   jax.random.PRNGKey(4))
+            cache, state = decode_chunk(serve, params_in, cache, state,
+                                        jax.random.PRNGKey(5), G - 1)
+            return state["tokens"], state["lps"]
+
+        base_t, base_l = run(params, init_slot_cache(serve, S))
+        mesh = make_mesh({"tp": 2}, jax.devices()[:2])
+        sp = shard_lm_params(params, mesh)
+        sc = shard_serve_cache(init_slot_cache(serve, S), mesh)
+        with mesh:
+            tp_t, tp_l = jax.jit(run)(sp, sc)
+        np.testing.assert_array_equal(np.asarray(base_t), np.asarray(tp_t))
+        np.testing.assert_allclose(np.asarray(base_l), np.asarray(tp_l),
+                                   atol=1e-5)
+
+
+class TestCollectorIntegration:
+    def test_as_chat_engine_drives_llm_collector(self, lm_and_params):
+        """ServingEngine as the LLMCollector engine: conversation workers
+        submit concurrently and coalesce through continuous batching."""
+        from rl_tpu.collectors import LLMCollector
+        from rl_tpu.envs.llm import ChatEnv
+
+        lm, params = lm_and_params
+        eng = ServingEngine(lm, params, n_slots=4, max_new_cap=8,
+                            prefill_width=2, decode_chunk_len=4)
+        encode = lambda h: [min(ord(c), 49) for c in
+                            h.messages[-1].content][:10] or [1]
+        decode = lambda toks: "".join(chr(97 + (t % 26)) for t in toks)
+        engine = eng.as_chat_engine(encode, decode, max_new_tokens=6,
+                                    temperature=0.0)
+        try:
+            env = ChatEnv(["What is 2+2?", "Name a color.", "Say hi."],
+                          reward_fn=lambda h, r: float(len(r)) / 10.0,
+                          max_turns=1, seed=0)
+            c = LLMCollector(env, engine, dialog_turns_per_batch=3,
+                             total_dialog_turns=6, max_tokens=16)
+            batches = list(c)
+        finally:
+            eng.close()
+        assert len(batches) == 2
+        for b in batches:
+            for s in b:
+                assert len(s["response"]) == 6
+                assert s["log_probs"].shape == (16,)
+                assert s["reward"] > 0
