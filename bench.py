@@ -29,6 +29,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 PER_CHIP_TARGET = 1_000_000 / 16
@@ -492,6 +493,87 @@ def bench_llm_engine(B=256, P=12, R=12, n_layers=8, d_model=320, iters=10,
     return B * R * iters / dt
 
 
+def bench_serving(n_requests=512, n_slots=256, R=48, n_layers=8,
+                  d_model=320, seed=0, speculative=False):
+    """Continuous-batching serving throughput (rl_tpu.serve) on a
+    mixed-length workload: prompts 4-12 tokens, max_new 4-R uniform.
+
+    Reports USEFUL tokens/s (requested tokens only).  The static-lockstep
+    comparison point runs the same workload through lm_generate_cached in
+    fixed [batch, R] sweeps — every sequence pays the longest request's
+    decode.  ``speculative=True`` adds a 2L/d128 draft (greedy), reporting
+    the acceptance rate.  NOTE: each scheduler iteration costs host
+    round-trips; on this container's tunneled backend (~60 ms RTT) the
+    continuous number is RTT-bound, not chip-bound — the static engine
+    runs its whole generation in one dispatch (context:
+    host_bridge.device_roundtrip_ms).
+    """
+    from rl_tpu.modules.transformer import TransformerLM
+    from rl_tpu.serve import ServingEngine
+
+    V = 32
+    lm = TransformerLM(vocab_size=V, n_layers=n_layers, d_model=d_model,
+                       n_heads=8, max_len=16 + R + 8, dtype=jnp.bfloat16)
+    params = lm.init(jax.random.PRNGKey(seed),
+                     jnp.zeros((1, 8), jnp.int32))["params"]
+    draft = None
+    if speculative:
+        dlm = TransformerLM(vocab_size=V, n_layers=2, d_model=128,
+                            n_heads=8, max_len=16 + R + 8,
+                            dtype=jnp.bfloat16)
+        dparams = dlm.init(jax.random.PRNGKey(seed + 1),
+                           jnp.zeros((1, 8), jnp.int32))["params"]
+        draft = (dlm, dparams)
+
+    rng = np.random.RandomState(seed)
+    prompts = [list(rng.randint(1, V, rng.randint(4, 13)))
+               for _ in range(n_requests)]
+    max_news = rng.randint(4, R + 1, n_requests)
+
+    eng = ServingEngine(lm, params, n_slots=n_slots, max_new_cap=R,
+                        prefill_width=min(64, n_slots),
+                        decode_chunk_len=16, prompt_buckets=(16,),
+                        draft=draft, gamma=4, seed=seed)
+    # warm the jit caches (prefill bucket + decode chunk) off the clock
+    eng.generate([prompts[0]], max_new_tokens=4,
+                 temperature=0.0 if speculative else 1.0)
+    t0 = time.perf_counter()
+    for p, mn in zip(prompts, max_news):
+        eng.submit(p, max_new_tokens=int(mn),
+                   temperature=0.0 if speculative else 1.0)
+    eng.run_until_complete()
+    dt = time.perf_counter() - t0
+    useful = int(max_news.sum())
+    out = {"continuous_tokens_per_s": round(useful / dt, 1),
+           "useful_tokens": useful, "wall_s": round(dt, 2),
+           "decode_calls": eng.decode_steps}
+    if speculative:
+        out["spec_acceptance"] = round(eng.spec_acceptance, 3)
+        return out
+
+    # static-lockstep comparison: same workload, fixed [n_slots, R] sweeps
+    # through the KV-cached sampler — every sequence decodes the full R
+    from rl_tpu.modules.transformer import lm_generate_cached
+
+    lm_dec = lm.copy(decode=True)
+    gen = jax.jit(lambda p, pr, k: lm_generate_cached(lm_dec, p, pr, R, k)[0])
+    padded = np.stack([[1] * (12 - len(p)) + p for p in prompts])
+    key = jax.random.PRNGKey(seed)
+    _sync(jnp.sum(gen(params, padded[:n_slots], key)))   # compile
+    t0 = time.perf_counter()
+    o = None
+    for i in range(0, n_requests, n_slots):
+        batch = padded[i: i + n_slots]
+        if len(batch) < n_slots:
+            batch = np.concatenate(
+                [batch, np.ones((n_slots - len(batch), 12), np.int64)])
+        o = gen(params, batch, jax.random.fold_in(key, i))
+    _sync(jnp.sum(o))
+    out["static_lockstep_tokens_per_s"] = round(
+        useful / (time.perf_counter() - t0), 1)
+    return out
+
+
 def bench_dreamer_optim(B=16, T=64, obs_dim=64, act_dim=6, iters=20):
     """Dreamer world-model+actor+value optimizer throughput.
 
@@ -881,6 +963,15 @@ def main() -> None:
          f"{llm_tps_cached:,.0f} tokens/s KV-cached "
          f"(10M-param bf16 TransformerLM, batch 256)")
 
+    serving = (bench_serving(n_requests=12, n_slots=4, R=8, n_layers=2,
+                             d_model=64)
+               if smoke else bench_serving())
+    serving_spec = (bench_serving(n_requests=12, n_slots=4, R=8, n_layers=2,
+                                  d_model=64, speculative=True)
+                    if smoke else bench_serving(speculative=True))
+    note(f"[bench] serving (continuous batching): {serving}; "
+         f"speculative: {serving_spec}")
+
     bridge = bench_host_bridge(steps=20 if smoke else 300,
                                budget_s=90.0 if smoke else 360.0)
     bridge.update(bridge_serial)
@@ -918,6 +1009,17 @@ def main() -> None:
         "llm_engine_tokens_per_s": round(llm_tps, 1),
         "llm_engine_cached_tokens_per_s": round(llm_tps_cached, 1),
         "llm_engine_config": "10M-param bf16 TransformerLM (8L d320), batch 256 autoregressive decode (full-forward vs KV-cached); raw device rate (conversation stack is tunnel-RTT-bound in this container)",
+        "llm_serving": {**serving,
+                        "spec_acceptance": serving_spec.get("spec_acceptance"),
+                        "speculative_tokens_per_s": serving_spec[
+                            "continuous_tokens_per_s"]},
+        "llm_serving_config": (
+            "rl_tpu.serve continuous batching, 10M-param bf16 target, "
+            "512 mixed-length requests (prompts 4-12, max_new 4-48), 256 "
+            "slots; static-lockstep = same workload in fixed [256,48] "
+            "KV-cached sweeps; speculative = 2L/d128 draft, gamma=4, "
+            "greedy; scheduler iterations pay host RTTs (tunnel-bound "
+            "here — see host_bridge.device_roundtrip_ms)"),
         "matmul_calibration_tflops": round(cal / 1e12, 1),
         "matmul_calibration_frac_of_peak": round(cal / V5E_PEAK_BF16, 3),
         "mfu_denominator": "v5e bf16 peak 197 TFLOP/s; FLOPs from XLA cost_analysis with loop bodies counted at true trip counts (collect probed at T=1 and scaled; update unrolled)",
