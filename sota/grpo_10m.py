@@ -66,6 +66,13 @@ DEFAULTS = dict(
     cached_decode=True,  # KV-cached engine (6x tokens/s on v5e, bit-equal
     # to full-forward greedy — bench.py llm_engine_cached_tokens_per_s);
     # set False to force the full-forward sampler (debug/ablation only)
+    # engine="server": fixed-batch InferenceServer (lockstep; optimal here
+    # because every request has identical prompt/response lengths).
+    # engine="serving": the continuous-batching ServingEngine
+    # (rl_tpu.serve) — requests enter/leave slots independently; the right
+    # choice for mixed-length workloads, demonstrated here in the full
+    # GRPO loop (weight pushes land via ServingEngine.update_weights).
+    engine="server",
     eval_every=50, seed=0, logger="csv",
 )
 
@@ -212,6 +219,34 @@ def main(cfg=None):
         prompt = history.messages[-1].content
         resp, lps = server.query(encode(prompt))
         return decode(resp), np.asarray(resp), np.asarray(lps)
+
+    if cfg["engine"] == "serving":
+        # swap the micro-batching server for the continuous-batching
+        # ServingEngine: conversation workers submit concurrently and
+        # coalesce through slot scheduling instead of fixed batches
+        from rl_tpu.serve import ServingEngine
+
+        server.close()
+        server = ServingEngine(
+            lm, params, n_slots=B, max_new_cap=R_LEN,
+            prefill_width=min(64, B), decode_chunk_len=R_LEN,
+            prompt_buckets=(P_LEN,), seed=cfg["seed"])
+        server.start()
+
+        def engine(history):
+            prompt = history.messages[-1].content
+            req = server.submit(
+                [int(t) for t in encode(prompt)], max_new_tokens=R_LEN,
+                temperature=cfg["temperature"])
+            req.wait()
+            resp = np.asarray(req.tokens, np.int32)
+            lps = np.asarray(req.log_probs, np.float32)
+            if resp.shape[0] < R_LEN:     # static update-batch shape
+                resp = np.concatenate(
+                    [resp, np.full(R_LEN - len(resp), PAD, np.int32)])
+                lps = np.concatenate(
+                    [lps, np.zeros(R_LEN - len(lps), np.float32)])
+            return decode(resp), resp, lps
 
     feed = PromptFeed(cfg["task_digits"])
 

@@ -45,6 +45,12 @@ SMOKE = {
                      "group_size=4", "logger=none"],
     "grpo_countdown.py": ["iters=5", "num_prompts=4", "group_size=4",
                           "sft_iters=3", "sft_batch=32"],
+    # tiny-model pass through the FULL grpo_10m stack, driven by the
+    # continuous-batching ServingEngine (rl_tpu.serve) as the engine
+    "grpo_10m.py": ["iters=2", "num_prompts=2", "group_size=2",
+                    "num_workers=2", "d_model=32", "n_layers=1",
+                    "n_heads=2", "engine=serving", "logger=none",
+                    "eval_every=0"],
     "iql_online_pendulum.py": ["total_frames=2000",
                                "init_random_frames=500"],
     "multiagent_iddpg.py": ["total_frames=2000"],
