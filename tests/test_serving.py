@@ -378,3 +378,18 @@ class TestCollectorIntegration:
                 assert len(s["response"]) == 6
                 assert s["log_probs"].shape == (16,)
                 assert s["reward"] > 0
+
+    def test_llm_weight_sync_registers_serving_engine(self, lm_and_params):
+        """LLMEngineWeightSync pushes trained params into the ServingEngine
+        (the trainer→engine path grpo_10m engine=serving uses)."""
+        from rl_tpu.weight_update.llm import LLMEngineWeightSync
+
+        lm, params = lm_and_params
+        eng = ServingEngine(lm, params, n_slots=2, max_new_cap=8)
+        sync = LLMEngineWeightSync()
+        sync.register_engine(eng)
+        p2 = jax.tree.map(lambda x: x * 1.3, params)
+        v = sync.push_weights(p2)
+        assert v >= 1
+        [r] = eng.generate([[3, 1, 4]], max_new_tokens=5, temperature=0.0)
+        assert r.tokens == _greedy_ref(lm, p2, [3, 1, 4], 5)
