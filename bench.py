@@ -1017,9 +1017,12 @@ def main() -> None:
             "rl_tpu.serve continuous batching, 10M-param bf16 target, "
             "512 mixed-length requests (prompts 4-12, max_new 4-48), 256 "
             "slots; static-lockstep = same workload in fixed [256,48] "
-            "KV-cached sweeps; speculative = 2L/d128 draft, gamma=4, "
-            "greedy; scheduler iterations pay host RTTs (tunnel-bound "
-            "here — see host_bridge.device_roundtrip_ms)"),
+            "KV-cached sweeps (generates ~1.8x the useful tokens as "
+            "waste); every scheduler dispatch pays this container's "
+            "tunnel RTT while the static engine is ONE dispatch, so the "
+            "continuous number is RTT-bound here, not chip-bound (see "
+            "host_bridge.device_roundtrip_ms; locally-attached dispatch "
+            "is sub-ms)"),
         "matmul_calibration_tflops": round(cal / 1e12, 1),
         "matmul_calibration_frac_of_peak": round(cal / V5E_PEAK_BF16, 3),
         "mfu_denominator": "v5e bf16 peak 197 TFLOP/s; FLOPs from XLA cost_analysis with loop bodies counted at true trip counts (collect probed at T=1 and scaled; update unrolled)",

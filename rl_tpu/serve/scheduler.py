@@ -111,6 +111,10 @@ class ServingEngine:
                                      pad_id=self.pad_id)
         self._queue: list[Request] = []
         self._slot_req: dict[int, Request] = {}      # busy slot -> request
+        # lower bound on tokens a slot still must commit before it can be
+        # done (0 immediately for stop-token requests) — lets _harvest skip
+        # device round-trips while no completion is possible
+        self._slot_left: dict[int, int] = {}
         self._lock = threading.Lock()
         self._running = False
         self._thread: threading.Thread | None = None
@@ -244,6 +248,10 @@ class ServingEngine:
                 slot_ids[i] = free[i]
                 row = r.params.as_row(self.n_stop)
                 self._slot_req[free[i]] = r
+                # prefill commits the first token; stop-token requests can
+                # finish any step, so they are always harvest-checked
+                self._slot_left[free[i]] = (
+                    0 if r.params.stop else r.params.max_new_tokens - 1)
             else:
                 slot_ids[i] = pad_slots[i - take]
                 row = dummy
@@ -289,29 +297,41 @@ class ServingEngine:
             self._spec_live_rounds_dev = (self._spec_live_rounds_dev
                                           + live_rounds)
             self.decode_steps += self._spec_rounds
+            progress = self._spec_rounds * (self.gamma + 1)  # max per chunk
         else:
             self.cache, self.state = self._decode_fn(self.params, self.cache,
                                                      self.state, k)
             self.decode_steps += self.decode_chunk_len
+            progress = self.decode_chunk_len
+        for s in self._slot_req:
+            self._slot_left[s] -= progress
 
     def _harvest(self) -> int:
-        """Complete finished requests; returns how many were harvested."""
+        """Complete finished requests; returns how many were harvested.
+
+        The host knows a lower bound on each slot's remaining tokens
+        (``_slot_left``: max_new minus guaranteed progress; 1 when the
+        request has stop tokens), so the device round-trip is skipped
+        entirely while no slot can possibly be done.  The finished rows
+        are read with ONE whole-array ``device_get`` and sliced in numpy —
+        a per-finished-count ``jnp.take`` would compile a fresh tiny
+        program for every distinct count (measured ~0.2-1 s each on the
+        tunneled backend, and it dominated the first serving bench)."""
         if not self._slot_req:
             return 0
-        done, gen = jax.device_get((self.state["done"],
-                                    self.state["gen_count"]))
-        finished = [s for s in self._slot_req if done[s]]
-        if not finished:
+        if all(left > 0 for left in self._slot_left.values()):
             return 0
-        idx = jnp.asarray(finished, jnp.int32)
-        toks, lps = jax.device_get((jnp.take(self.state["tokens"], idx, 0),
-                                    jnp.take(self.state["lps"], idx, 0)))
-        for j, s in enumerate(finished):
+        done, gen, toks, lps = jax.device_get(
+            (self.state["done"], self.state["gen_count"],
+             self.state["tokens"], self.state["lps"]))
+        finished = [s for s in self._slot_req if done[s]]
+        for s in finished:
             r = self._slot_req.pop(s)
+            self._slot_left.pop(s, None)
             g = int(gen[s])
             p0 = len(r.prompt_ids)
-            r.tokens = [int(t) for t in toks[j, p0: p0 + g]]
-            r.log_probs = np.asarray(lps[j, :g], np.float32)
+            r.tokens = [int(t) for t in toks[s, p0: p0 + g]]
+            r.log_probs = np.asarray(lps[s, :g], np.float32)
             self.tokens_generated += g
             r._event.set()
         return len(finished)
