@@ -192,7 +192,8 @@ class SamplingParams:
 
     def __init__(self, *, max_new_tokens: int, temperature: float = 1.0,
                  top_k: int = 0, top_p: float = 1.0, min_p: float = 0.0,
-                 repetition_penalty: float = 1.0, stop: tuple = ()):
+                 repetition_penalty: float = 1.0, stop: tuple = (),
+                 prompt_logprobs: bool = False):
         self.max_new_tokens = int(max_new_tokens)
         self.temperature = float(temperature)
         self.top_k = int(top_k)
@@ -200,6 +201,11 @@ class SamplingParams:
         self.min_p = float(min_p)
         self.repetition_penalty = float(repetition_penalty)
         self.stop = tuple(int(s) for s in stop)
+        # also return per-token log-probs of the PROMPT under the model
+        # (the vLLM ``prompt_logprobs`` / OpenAI ``echo`` surface; the RL
+        # rescoring path gets behaviour log-probs for the whole sequence).
+        # Position 0 scores 0.0 by convention (no context in the window).
+        self.prompt_logprobs = bool(prompt_logprobs)
 
     def as_row(self, n_stop: int) -> dict:
         if len(self.stop) > n_stop:
@@ -228,6 +234,7 @@ def init_slot_state(n_slots: int, max_len: int, max_new_cap: int,
         gen_count=jnp.zeros(S, jnp.int32),
         max_new=jnp.zeros(S, jnp.int32),
         lps=jnp.zeros((S, max_new_cap), jnp.float32),
+        plps=jnp.zeros((S, max_len), jnp.float32),
         temperature=jnp.ones(S, jnp.float32),
         top_k=jnp.zeros(S, jnp.int32),
         top_p=jnp.ones(S, jnp.float32),
@@ -430,6 +437,23 @@ def prefill(serve: ServeLM, params, cache, state: TDict, slot_ids,
             valid[:, None], jnp.zeros_like(state["lps"][slot_ids]),
             state["lps"][slot_ids])),
     })
+
+    # prompt log-probs (teacher-forced scoring of the prompt itself, the
+    # vLLM prompt_logprobs surface): logits at window position i-1 score
+    # prompts[:, i]; window position 0 has no in-window context (scored 0)
+    if P > 1:
+        lp_all = jax.nn.log_softmax(jnp.asarray(logits[:, :-1], jnp.float32),
+                                    -1)                       # [K, P-1, V]
+        scored = jnp.take_along_axis(
+            lp_all, prompts[:, 1:, None], -1)[..., 0]         # [K, P-1]
+        write = in_prompt[:, 1:]
+        old_plp = state["plps"][slot_ids[:, None], tok_idx[:, 1:]]
+        plps = state["plps"].at[slot_ids[:, None], tok_idx[:, 1:]].set(
+            jnp.where(write, scored, old_plp))
+        zpos = state["plps"][slot_ids, tok_idx[:, 0]]
+        plps = plps.at[slot_ids, tok_idx[:, 0]].set(
+            jnp.where(valid, jnp.zeros(K), zpos))
+        state = state.set("plps", plps)
 
     # sample each request's first token from the last valid prompt logit;
     # invalid (bucket-padding) rows are masked out of the append — their

@@ -47,6 +47,7 @@ class Request:
         self.params = params
         self.tokens: list[int] | None = None     # generated tokens (stop incl.)
         self.log_probs: np.ndarray | None = None
+        self.prompt_logprobs: np.ndarray | None = None  # when requested
         self._event = threading.Event()
 
     @property
@@ -325,6 +326,9 @@ class ServingEngine:
             (self.state["done"], self.state["gen_count"],
              self.state["tokens"], self.state["lps"]))
         finished = [s for s in self._slot_req if done[s]]
+        plps = None
+        if any(self._slot_req[s].params.prompt_logprobs for s in finished):
+            plps = jax.device_get(self.state["plps"])
         for s in finished:
             r = self._slot_req.pop(s)
             self._slot_left.pop(s, None)
@@ -332,6 +336,8 @@ class ServingEngine:
             p0 = len(r.prompt_ids)
             r.tokens = [int(t) for t in toks[s, p0: p0 + g]]
             r.log_probs = np.asarray(lps[s, :g], np.float32)
+            if r.params.prompt_logprobs:
+                r.prompt_logprobs = np.asarray(plps[s, :p0], np.float32)
             self.tokens_generated += g
             r._event.set()
         return len(finished)

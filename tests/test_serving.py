@@ -393,3 +393,26 @@ class TestCollectorIntegration:
         assert v >= 1
         [r] = eng.generate([[3, 1, 4]], max_new_tokens=5, temperature=0.0)
         assert r.tokens == _greedy_ref(lm, p2, [3, 1, 4], 5)
+
+
+class TestPromptLogprobs:
+    def test_prompt_logprobs_match_full_forward(self, lm_and_params):
+        """prompt_logprobs=True returns teacher-forced prompt scores equal
+        to a full-forward log_softmax pass (position 0 scored 0.0)."""
+        lm, params = lm_and_params
+        eng = ServingEngine(lm, params, n_slots=2, max_new_cap=6)
+        prompt = [7, 3, 19, 4, 2]
+        [r] = eng.generate([prompt], max_new_tokens=4, temperature=0.0,
+                           prompt_logprobs=True)
+        assert r.prompt_logprobs.shape == (5,)
+        assert r.prompt_logprobs[0] == 0.0
+        lg = lm.apply({"params": params}, jnp.asarray([prompt]))
+        lp = jax.nn.log_softmax(np.asarray(lg, np.float32), -1)
+        expect = [float(lp[0, i - 1, prompt[i]]) for i in range(1, 5)]
+        np.testing.assert_allclose(r.prompt_logprobs[1:], expect, atol=1e-5)
+
+    def test_prompt_logprobs_off_by_default(self, lm_and_params):
+        lm, params = lm_and_params
+        eng = ServingEngine(lm, params, n_slots=2, max_new_cap=6)
+        [r] = eng.generate([[3, 1]], max_new_tokens=3, temperature=0.0)
+        assert r.prompt_logprobs is None
