@@ -93,7 +93,8 @@ class ServingEngine:
                  decode_chunk_len: int = 16, n_stop: int = 4,
                  pad_id: int = 0, seed: int = 0,
                  prompt_buckets: Sequence[int] | None = None,
-                 draft: tuple | None = None, gamma: int = 4):
+                 draft: tuple | str | None = None, gamma: int = 4,
+                 ngram_k: int = 2):
         self.serve = lm if isinstance(lm, ServeLM) else ServeLM.from_lm(lm)
         self.params = params
         self.n_slots = int(n_slots)
@@ -129,9 +130,23 @@ class ServingEngine:
         self._prefill_fns: dict[tuple[int, int], Any] = {}
         self._draft_prefill_fns: dict[tuple[int, int], Any] = {}
 
-        # speculative decoding: draft = (draft_lm, draft_params)
+        # speculative decoding: draft = (draft_lm, draft_params), or the
+        # string "ngram" for draft-free prompt-lookup speculation
         self.gamma = int(gamma)
-        if draft is not None:
+        self._ngram = draft == "ngram"
+        if self._ngram:
+            from rl_tpu.serve.speculative import ngram_decode_chunk
+            self.draft_serve = "ngram"
+            rounds = max(1, n // (self.gamma + 1))
+            self._spec_rounds = rounds
+            g, nk = self.gamma, int(ngram_k)
+            self._spec_fn = jax.jit(
+                lambda pt, ct, s, k: ngram_decode_chunk(
+                    serve, pt, ct, s, k, rounds, g, nk),
+                donate_argnums=(1, 2))
+            self._spec_tokens_dev = jnp.zeros((), jnp.int32)
+            self._spec_live_rounds_dev = jnp.zeros((), jnp.int32)
+        elif draft is not None:
             from rl_tpu.serve.speculative import speculative_decode_chunk
             draft_lm, self.draft_params = draft
             self.draft_serve = draft_lm if isinstance(draft_lm, ServeLM) \
@@ -197,7 +212,7 @@ class ServingEngine:
         self.params = params
 
     def update_draft_weights(self, params) -> None:
-        if self.draft_serve is None:
+        if self.draft_serve is None or self._ngram:
             raise RuntimeError("engine has no draft model")
         self.draft_params = params
 
@@ -272,7 +287,7 @@ class ServingEngine:
         self.cache, self.state = fn(self.params, self.cache, self.state,
                                     slot_ids, prompts, plen_arr, req_td, k,
                                     valid)
-        if self.draft_serve is not None:
+        if self.draft_serve is not None and not self._ngram:
             dfn = self._draft_prefill_fns.get((K, P))
             if dfn is None:
                 from rl_tpu.serve.speculative import draft_prefill
@@ -289,7 +304,15 @@ class ServingEngine:
 
     def _decode(self) -> None:
         self._key, k = jax.random.split(self._key)
-        if self.draft_serve is not None:
+        if self._ngram:
+            self.cache, self.state, eff, live_rounds = self._spec_fn(
+                self.params, self.cache, self.state, k)
+            self._spec_tokens_dev = self._spec_tokens_dev + eff
+            self._spec_live_rounds_dev = (self._spec_live_rounds_dev
+                                          + live_rounds)
+            self.decode_steps += self._spec_rounds
+            progress = self._spec_rounds * (self.gamma + 1)
+        elif self.draft_serve is not None:
             (self.cache, self.draft_cache, self.state, eff,
              live_rounds) = self._spec_fn(
                 self.params, self.draft_params, self.cache, self.draft_cache,

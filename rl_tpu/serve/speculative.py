@@ -35,7 +35,8 @@ from rl_tpu.serve.engine import (
     ServeLM, _filtered_logits, _sampling_probs,
 )
 
-__all__ = ["speculative_decode_chunk", "speculative_round", "draft_prefill"]
+__all__ = ["speculative_decode_chunk", "speculative_round", "draft_prefill",
+           "ngram_propose", "ngram_round", "ngram_decode_chunk"]
 
 
 def draft_prefill(serve_d: ServeLM, params_d, cache_d, slot_ids, prompts,
@@ -129,6 +130,29 @@ def speculative_round(serve_t: ServeLM, serve_d: ServeLM, params_t, params_d,
         props, d_flog, d_greedy = x1[:, None], flog1[:, None], \
             greedy1[:, None]
 
+    d_probs = _sampling_probs(
+        d_flog.reshape(S * gamma, V), d_greedy.reshape(S * gamma)
+    ).reshape(S, gamma, V)
+    cache_t, state, eff = _verify_commit(
+        serve_t, params_t, cache_t, state, toks, props, d_probs, kv, kb,
+        gamma)
+    return cache_t, cache_d, state, eff
+
+
+def _verify_commit(serve_t, params_t, cache_t, state: TDict, toks, props,
+                   d_probs, kv, kb, gamma: int):
+    """Verify ``props`` [S, gamma] (already staged in ``toks`` beyond each
+    frontier) against the target in ONE forward, accept/reject against the
+    proposal distribution ``d_probs`` [S, gamma, V], and commit the
+    accepted prefix plus a corrected/bonus token.  Exact for ANY proposal
+    distribution — a model draft's filtered softmax or a deterministic
+    proposer's one-hot."""
+    S, Lmax = state["tokens"].shape
+    V = serve_t.vocab_size
+    arange = jnp.arange(S)
+    live = state["active"] & ~state["done"]
+    L0 = state["length"]
+
     # ---- verify phase: one target forward over gamma+1 positions ----------
     win_idx = jnp.clip((L0 - 1)[:, None] + jnp.arange(gamma + 1)[None],
                        0, Lmax - 1)
@@ -140,9 +164,6 @@ def speculative_round(serve_t: ServeLM, serve_d: ServeLM, params_t, params_d,
         t_raw.reshape(S * (gamma + 1), V), *_filters_at(state, gamma + 1))
     t_probs = _sampling_probs(t_flog_flat, t_greedy_flat).reshape(
         S, gamma + 1, V)                              # target sampling law
-    d_probs = _sampling_probs(
-        d_flog.reshape(S * gamma, V), d_greedy.reshape(S * gamma)
-    ).reshape(S, gamma, V)
 
     # ---- accept/reject -----------------------------------------------------
     p_at = jnp.take_along_axis(t_probs[:, :gamma], props[..., None],
@@ -212,7 +233,79 @@ def speculative_round(serve_t: ServeLM, serve_d: ServeLM, params_t, params_d,
         "tokens": tokens, "lps": lps, "length": len_new,
         "gen_count": g_new, "done": done_new,
     })
-    return cache_t, cache_d, state, eff
+    return cache_t, state, eff
+
+
+def ngram_propose(state: TDict, gamma: int, k: int = 2):
+    """Draft-free prompt-lookup proposals (the vLLM ngram-speculation
+    analogue): match each slot's most recent ``k``-gram against its own
+    earlier context and propose the ``gamma`` tokens that followed the
+    most recent earlier occurrence.  Returns ``(toks, props)`` with the
+    proposals staged beyond each frontier; the proposal distribution is
+    the one-hot at ``props`` (accept prob = p(x) under the target — the
+    accept/reject theorem holds for any q, so this stays exact)."""
+    tokens = state["tokens"]
+    S, Lmax = tokens.shape
+    arange = jnp.arange(S)
+    live = state["active"] & ~state["done"]
+    L0 = state["length"]
+
+    # key gram: the last k tokens [S, k] (key[i] = tokens[L0-k+i])
+    key_idx = jnp.clip((L0 - k)[:, None] + jnp.arange(k)[None], 0, Lmax - 1)
+    key_gram = tokens[arange[:, None], key_idx]
+    # candidate gram ENDING at j (inclusive): tokens[j-k+1 .. j]
+    j = jnp.arange(Lmax)
+    cand_idx = jnp.clip(j[:, None] - (k - 1) + jnp.arange(k)[None],
+                        0, Lmax - 1)                      # [Lmax, k]
+    cand = tokens[:, cand_idx]                            # [S, Lmax, k]
+    match = (cand == key_gram[:, None, :]).all(-1)
+    match &= (j[None] >= k - 1) & (j[None] <= (L0 - 2)[:, None])
+    best_j = jnp.where(match, j[None], -1).max(1)         # [S], -1 = none
+    # proposals: tokens[best_j+1 .. best_j+gamma], with reads CLAMPED at
+    # the frontier (L0-1): continuation beyond the last committed token is
+    # unknown, so the clamp repeats it — exactly right for constant runs
+    # (the adjacent-repeat match), harmlessly rejected otherwise
+    prop_idx = jnp.clip(best_j[:, None] + 1 + jnp.arange(gamma)[None],
+                        0, jnp.maximum(L0 - 1, 0)[:, None])
+    props = jnp.where((best_j >= 0)[:, None],
+                      tokens[arange[:, None], prop_idx],
+                      jnp.asarray(state["pad_id"], jnp.int32))
+    props = props.astype(jnp.int32)
+    # stage beyond the frontier for the verify window
+    stage_idx = jnp.clip(L0[:, None] + jnp.arange(gamma)[None], 0, Lmax - 1)
+    cur = tokens[arange[:, None], stage_idx]
+    toks = tokens.at[arange[:, None], stage_idx].set(
+        jnp.where(live[:, None], props, cur))
+    return toks, props
+
+
+def ngram_round(serve_t: ServeLM, params_t, cache_t, state: TDict, key,
+                gamma: int, k: int = 2):
+    """One draft-free speculative round: n-gram proposals + target verify.
+    Commits 1..gamma+1 tokens per live slot; exact for greedy and sampled
+    targets alike."""
+    kv, kb = jax.random.split(key)
+    toks, props = ngram_propose(state, gamma, k)
+    V = serve_t.vocab_size
+    d_probs = jax.nn.one_hot(props, V, dtype=jnp.float32)   # [S, gamma, V]
+    return _verify_commit(serve_t, params_t, cache_t, state, toks, props,
+                          d_probs, kv, kb, gamma)
+
+
+def ngram_decode_chunk(serve_t, params_t, cache_t, state: TDict, key,
+                       n_rounds: int, gamma: int, k: int = 2):
+    """``n_rounds`` n-gram speculative rounds under ``lax.scan``; returns
+    ``(cache_t, state, committed_total, live_slot_rounds)``."""
+
+    def body(carry, kk):
+        cache_t, state = carry
+        cache_t, state, eff = ngram_round(serve_t, params_t, cache_t, state,
+                                          kk, gamma, k)
+        return (cache_t, state), eff
+
+    keys = jax.random.split(key, n_rounds)
+    (cache_t, state), effs = jax.lax.scan(body, (cache_t, state), keys)
+    return cache_t, state, effs.sum(), (effs > 0).sum()
 
 
 def speculative_decode_chunk(serve_t, serve_d, params_t, params_d, cache_t,

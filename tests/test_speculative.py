@@ -153,3 +153,69 @@ class TestDistributionExactness:
                 topk = set(np.argsort(-np.asarray(lg))[:3].tolist())
                 assert t in topk, (trial, t, topk)
                 seq.append(t)
+
+
+class TestNgramSpeculation:
+    """Draft-free prompt-lookup speculation (draft=\"ngram\")."""
+
+    def test_greedy_identical_to_plain(self, models):
+        lm, params, _, _ = models
+        plain = ServingEngine(lm, params, n_slots=3, max_new_cap=12,
+                              decode_chunk_len=5)
+        ng = ServingEngine(lm, params, n_slots=3, max_new_cap=12,
+                           decode_chunk_len=5, draft="ngram", gamma=3)
+        rng = np.random.RandomState(4)
+        prompts = [list(rng.randint(1, 24, rng.randint(2, 8)))
+                   for _ in range(6)]
+        a = plain.generate(prompts, max_new_tokens=10, temperature=0.0)
+        b = ng.generate(prompts, max_new_tokens=10, temperature=0.0)
+        for x, y in zip(a, b):
+            assert x.tokens == y.tokens
+            np.testing.assert_allclose(x.log_probs, y.log_probs, atol=1e-5)
+        assert ng.spec_acceptance >= 1.0
+
+    def test_repetitive_continuation_accelerates(self, models):
+        """A prompt whose greedy continuation becomes constant must reach
+        acceptance > 1 (adjacent-repeat match, frontier-clamped reads)."""
+        lm, params, _, _ = models
+        plain = ServingEngine(lm, params, n_slots=1, max_new_cap=14,
+                              decode_chunk_len=7)
+        rng = np.random.RandomState(1)
+        found = None
+        for _ in range(20):
+            p = list(rng.randint(1, 24, 4))
+            [r] = plain.generate([p], max_new_tokens=12, temperature=0.0)
+            if len(set(r.tokens[-6:])) == 1:
+                found = (p, r.tokens)
+                break
+        assert found, "no constant-continuation prompt found"
+        p, expect = found
+        ng = ServingEngine(lm, params, n_slots=1, max_new_cap=14,
+                           decode_chunk_len=8, draft="ngram", gamma=3)
+        [x] = ng.generate([p], max_new_tokens=12, temperature=0.0)
+        assert x.tokens == expect
+        assert ng.spec_acceptance > 1.3
+
+    def test_ngram_sampled_support_respected(self, models):
+        lm, params, _, _ = models
+        ng = ServingEngine(lm, params, n_slots=1, max_new_cap=8,
+                           decode_chunk_len=4, draft="ngram", gamma=2,
+                           seed=5)
+        prompt = [6, 2, 9]
+        for trial in range(6):
+            ng._key = jax.random.PRNGKey(trial)
+            [r] = ng.generate([prompt], max_new_tokens=5, temperature=1.0,
+                              top_k=3)
+            seq = list(prompt)
+            for t in r.tokens:
+                lg = lm.apply({"params": params}, jnp.asarray([seq]))[0, -1]
+                topk = set(np.argsort(-np.asarray(lg))[:3].tolist())
+                assert t in topk
+                seq.append(t)
+
+    def test_no_draft_weight_update(self, models):
+        lm, params, _, _ = models
+        ng = ServingEngine(lm, params, n_slots=1, max_new_cap=8,
+                           draft="ngram")
+        with pytest.raises(RuntimeError):
+            ng.update_draft_weights(params)
