@@ -517,7 +517,9 @@ def bench_serving(n_requests=512, n_slots=256, R=48, n_layers=8,
     params = lm.init(jax.random.PRNGKey(seed),
                      jnp.zeros((1, 8), jnp.int32))["params"]
     draft = None
-    if speculative:
+    if speculative == "ngram":
+        draft = "ngram"
+    elif speculative:
         dlm = TransformerLM(vocab_size=V, n_layers=2, d_model=128,
                             n_heads=8, max_len=16 + R + 8,
                             dtype=jnp.bfloat16)
@@ -969,8 +971,11 @@ def main() -> None:
     serving_spec = (bench_serving(n_requests=12, n_slots=4, R=8, n_layers=2,
                                   d_model=64, speculative=True)
                     if smoke else bench_serving(speculative=True))
+    serving_ngram = (bench_serving(n_requests=12, n_slots=4, R=8, n_layers=2,
+                                   d_model=64, speculative="ngram")
+                     if smoke else bench_serving(speculative="ngram"))
     note(f"[bench] serving (continuous batching): {serving}; "
-         f"speculative: {serving_spec}")
+         f"speculative: {serving_spec}; ngram: {serving_ngram}")
 
     bridge = bench_host_bridge(steps=20 if smoke else 300,
                                budget_s=90.0 if smoke else 360.0)
@@ -1012,7 +1017,15 @@ def main() -> None:
         "llm_serving": {**serving,
                         "spec_acceptance": serving_spec.get("spec_acceptance"),
                         "speculative_tokens_per_s": serving_spec[
-                            "continuous_tokens_per_s"]},
+                            "continuous_tokens_per_s"],
+                        "ngram_acceptance": serving_ngram.get(
+                            "spec_acceptance"),
+                        "ngram_tokens_per_s": serving_ngram[
+                            "continuous_tokens_per_s"],
+                        "trained_spec_acceptance":
+                            "3.97/5.0 ceiling with SFT'd target+draft — "
+                            "benchmarks/SPEC_DECODE_RESULTS.md (random-init "
+                            "pairs here measure accidental agreement)"},
         "llm_serving_config": (
             "rl_tpu.serve continuous batching, 10M-param bf16 target, "
             "512 mixed-length requests (prompts 4-12, max_new 4-48), 256 "
