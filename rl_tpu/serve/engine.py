@@ -193,7 +193,8 @@ class SamplingParams:
     def __init__(self, *, max_new_tokens: int, temperature: float = 1.0,
                  top_k: int = 0, top_p: float = 1.0, min_p: float = 0.0,
                  repetition_penalty: float = 1.0, stop: tuple = (),
-                 prompt_logprobs: bool = False):
+                 prompt_logprobs: bool = False, min_tokens: int = 0,
+                 logit_bias: dict | None = None):
         self.max_new_tokens = int(max_new_tokens)
         self.temperature = float(temperature)
         self.top_k = int(top_k)
@@ -201,6 +202,13 @@ class SamplingParams:
         self.min_p = float(min_p)
         self.repetition_penalty = float(repetition_penalty)
         self.stop = tuple(int(s) for s in stop)
+        # min_tokens: stop tokens are suppressed (logit -> -inf) until this
+        # many tokens are committed (HF min_new_tokens / vLLM min_tokens)
+        self.min_tokens = int(min_tokens)
+        # logit_bias: {token_id: additive bias} applied pre-softmax to every
+        # decode position (the OpenAI/vLLM logit_bias surface; -inf-like
+        # values ban tokens, large positive values force them)
+        self.logit_bias = dict(logit_bias) if logit_bias else None
         # also return per-token log-probs of the PROMPT under the model
         # (the vLLM ``prompt_logprobs`` / OpenAI ``echo`` surface; the RL
         # rescoring path gets behaviour log-probs for the whole sequence).
@@ -214,19 +222,34 @@ class SamplingParams:
         return dict(max_new=self.max_new_tokens, temperature=self.temperature,
                     top_k=self.top_k, top_p=self.top_p, min_p=self.min_p,
                     repetition_penalty=self.repetition_penalty,
+                    min_tokens=self.min_tokens,
                     stop=np.asarray(stop, np.int32))
+
+    def bias_row(self, vocab_size: int) -> np.ndarray:
+        row = np.zeros(vocab_size, np.float32)
+        if self.logit_bias:
+            for t, b in self.logit_bias.items():
+                row[int(t)] = float(b)
+        return row
 
 
 def init_slot_state(n_slots: int, max_len: int, max_new_cap: int,
-                    *, n_stop: int = 4, pad_id: int = 0) -> TDict:
+                    *, n_stop: int = 4, pad_id: int = 0,
+                    vocab_size: int | None = None) -> TDict:
     """Fresh slot table.  ``max_new_cap`` bounds any request's generation
     length (static log-prob buffer).  All fields are per-slot arrays:
 
     tokens [S, max_len], length/gen_count/max_new [S], active/done [S],
-    lps [S, max_new_cap], sampling params, stop [S, n_stop].
+    lps [S, max_new_cap], sampling params, stop [S, n_stop].  Passing
+    ``vocab_size`` additionally allocates the per-slot ``logit_bias``
+    table [S, V] (omitted → the bias surface is disabled).
     """
     S = int(n_slots)
+    extra = ({"logit_bias": jnp.zeros((S, int(vocab_size)), jnp.float32)}
+             if vocab_size else {})
     return TDict(
+        **extra,
+        min_tokens=jnp.zeros(S, jnp.int32),
         tokens=jnp.full((S, max_len), pad_id, jnp.int32),
         length=jnp.zeros(S, jnp.int32),
         active=jnp.zeros(S, bool),
@@ -313,6 +336,17 @@ def sample_from_logits(logits, state: TDict, key, slot_ids=None):
     logits = _apply_repetition_penalty(
         logits, take(state["repetition_penalty"]), take(state["tokens"]),
         take(state["length"]))
+    if state.get("logit_bias", None) is not None:
+        logits = logits + take(state["logit_bias"])
+    # min_tokens: suppress stop tokens until enough tokens are committed
+    K, V = logits.shape
+    below = take(state["gen_count"]) < take(state["min_tokens"])
+    stop = take(state["stop"])
+    for i in range(stop.shape[1]):
+        sid = jnp.clip(stop[:, i], 0, V - 1)
+        cur = logits[jnp.arange(K), sid]
+        logits = logits.at[jnp.arange(K), sid].set(
+            jnp.where(below & (stop[:, i] >= 0), _NEG, cur))
     raw_lp = jax.nn.log_softmax(logits, -1)
     masked, greedy = _filtered_logits(
         logits, take(state["temperature"]), take(state["top_k"]),
@@ -418,6 +452,9 @@ def prefill(serve: ServeLM, params, cache, state: TDict, slot_ids,
             sel(jnp.zeros(K, jnp.int32), state["gen_count"])),
         "max_new": state["max_new"].at[slot_ids].set(
             sel(jnp.asarray(req["max_new"], jnp.int32), state["max_new"])),
+        "min_tokens": state["min_tokens"].at[slot_ids].set(
+            sel(jnp.asarray(req.get("min_tokens", jnp.zeros(K, jnp.int32)),
+                            jnp.int32), state["min_tokens"])),
         "temperature": state["temperature"].at[slot_ids].set(
             sel(jnp.asarray(req["temperature"], jnp.float32),
                 state["temperature"])),
@@ -437,6 +474,17 @@ def prefill(serve: ServeLM, params, cache, state: TDict, slot_ids,
             valid[:, None], jnp.zeros_like(state["lps"][slot_ids]),
             state["lps"][slot_ids])),
     })
+
+    if state.get("logit_bias", None) is not None:
+        # requests without a bias RESET their slot's row (a reused slot
+        # must not inherit the previous request's biases)
+        new_bias = (jnp.asarray(req["logit_bias"], jnp.float32)
+                    if "logit_bias" in req else
+                    jnp.zeros((K, state["logit_bias"].shape[1]),
+                              jnp.float32))
+        lb = state["logit_bias"].at[slot_ids].set(jnp.where(
+            valid[:, None], new_bias, state["logit_bias"][slot_ids]))
+        state = state.set("logit_bias", lb)
 
     # prompt log-probs (teacher-forced scoring of the prompt itself, the
     # vLLM prompt_logprobs surface): logits at window position i-1 score

@@ -110,7 +110,8 @@ class ServingEngine:
         self.cache = init_slot_cache(self.serve, self.n_slots)
         self.state = init_slot_state(self.n_slots, self.max_len,
                                      self.max_new_cap, n_stop=self.n_stop,
-                                     pad_id=self.pad_id)
+                                     pad_id=self.pad_id,
+                                     vocab_size=self.serve.vocab_size)
         self._queue: list[Request] = []
         self._slot_req: dict[int, Request] = {}      # busy slot -> request
         # lower bound on tokens a slot still must commit before it can be
@@ -191,6 +192,11 @@ class ServingEngine:
                 "repetition_penalty is not supported with speculative "
                 "decoding (penalty at position i depends on tokens committed "
                 "earlier in the same verify window)")
+        if self.draft_serve is not None and sp.min_tokens > 0:
+            raise ValueError(
+                "min_tokens is not supported with speculative decoding "
+                "(stop suppression at position i depends on the commit "
+                "count inside the verify window)")
         req = Request(prompt_ids, sp)
         with self._lock:
             self._queue.append(req)
@@ -248,8 +254,11 @@ class ServingEngine:
         plen_arr = np.ones(K, np.int32)
         valid = np.zeros(K, bool)
         rows = {k: [] for k in ("max_new", "temperature", "top_k", "top_p",
-                                "min_p", "repetition_penalty", "stop")}
+                                "min_p", "repetition_penalty", "min_tokens",
+                                "stop")}
         dummy = SamplingParams(max_new_tokens=1).as_row(self.n_stop)
+        has_bias = any(r.params.logit_bias for r in batch)
+        bias_rows = [] if has_bias else None
         slot_ids = np.zeros(K, np.int32)
         # padding rows use distinct remaining slot ids (unique-per-call
         # contract of the scatter; masked rows write back current values)
@@ -273,16 +282,22 @@ class ServingEngine:
                 row = dummy
             for k in rows:
                 rows[k].append(row[k])
+            if has_bias:
+                bias_rows.append(
+                    (batch[i].params if i < take else SamplingParams(
+                        max_new_tokens=1)).bias_row(self.serve.vocab_size))
         req_td = {k: np.stack(v) if k == "stop" else np.asarray(v)
                   for k, v in rows.items()}
-        fn = self._prefill_fns.get((K, P))
+        if has_bias:
+            req_td["logit_bias"] = np.stack(bias_rows)
+        fn = self._prefill_fns.get((K, P, has_bias))
         if fn is None:
             serve = self.serve
             fn = jax.jit(
                 lambda p, c, s, sid, pr, pl, rq, ky, va: prefill(
                     serve, p, c, s, sid, pr, pl, rq, ky, valid=va),
                 donate_argnums=(1, 2))
-            self._prefill_fns[(K, P)] = fn
+            self._prefill_fns[(K, P, has_bias)] = fn
         self._key, k = jax.random.split(self._key)
         self.cache, self.state = fn(self.params, self.cache, self.state,
                                     slot_ids, prompts, plen_arr, req_td, k,

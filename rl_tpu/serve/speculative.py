@@ -90,8 +90,11 @@ def speculative_round(serve_t: ServeLM, serve_d: ServeLM, params_t, params_d,
     # positions (L0-2, L0-1), rewriting the possibly-missing row
     # idempotently, then γ-1 single-token steps follow.
     def _propose(logits_last, toks, length, k):
+        logits_last = jnp.asarray(logits_last, jnp.float32)
+        if state.get("logit_bias", None) is not None:
+            logits_last = logits_last + state["logit_bias"]
         flog, greedy = _filtered_logits(
-            jnp.asarray(logits_last, jnp.float32),
+            logits_last,
             state["temperature"], state["top_k"], state["top_p"],
             state["min_p"])
         nxt = jnp.where(greedy, jnp.argmax(flog, -1),
@@ -160,6 +163,8 @@ def _verify_commit(serve_t, params_t, cache_t, state: TDict, toks, props,
     t_logits, cache_t = serve_t.apply({"params": params_t}, window, cache_t,
                                       L0 - 1)
     t_raw = jnp.asarray(t_logits, jnp.float32)        # [S, gamma+1, V]
+    if state.get("logit_bias", None) is not None:
+        t_raw = t_raw + state["logit_bias"][:, None, :]
     t_flog_flat, t_greedy_flat = _filtered_logits(
         t_raw.reshape(S * (gamma + 1), V), *_filters_at(state, gamma + 1))
     t_probs = _sampling_probs(t_flog_flat, t_greedy_flat).reshape(

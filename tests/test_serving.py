@@ -416,3 +416,43 @@ class TestPromptLogprobs:
         eng = ServingEngine(lm, params, n_slots=2, max_new_cap=6)
         [r] = eng.generate([[3, 1]], max_new_tokens=3, temperature=0.0)
         assert r.prompt_logprobs is None
+
+
+class TestBiasAndMinTokens:
+    def test_min_tokens_suppresses_stop(self, lm_and_params):
+        lm, params = lm_and_params
+        eng = ServingEngine(lm, params, n_slots=2, max_new_cap=8)
+        full = _greedy_ref(lm, params, [5, 9, 2], 8)
+        stop = full[2]
+        first = full.index(stop)
+        [a] = eng.generate([[5, 9, 2]], max_new_tokens=8, temperature=0.0,
+                           stop=(stop,))
+        [b] = eng.generate([[5, 9, 2]], max_new_tokens=8, temperature=0.0,
+                           stop=(stop,), min_tokens=6)
+        assert len(a.tokens) == first + 1
+        assert len(b.tokens) >= 6
+
+    def test_logit_bias_bans_and_forces(self, lm_and_params):
+        lm, params = lm_and_params
+        eng = ServingEngine(lm, params, n_slots=2, max_new_cap=8)
+        full = _greedy_ref(lm, params, [5, 9, 2], 4)
+        [c] = eng.generate([[5, 9, 2]], max_new_tokens=4, temperature=0.0,
+                           logit_bias={full[0]: -1e9})
+        assert c.tokens[0] != full[0]
+        [d] = eng.generate([[5, 9, 2]], max_new_tokens=3, temperature=0.0,
+                           logit_bias={7: 1e9})
+        assert d.tokens == [7, 7, 7]
+        # a reused slot must NOT inherit the previous request's bias
+        [e] = eng.generate([[5, 9, 2]], max_new_tokens=4, temperature=0.0)
+        assert e.tokens == full
+
+    def test_bias_in_speculative_and_min_tokens_rejected(self,
+                                                         lm_and_params):
+        lm, params = lm_and_params
+        eng = ServingEngine(lm, params, n_slots=2, max_new_cap=8,
+                            draft="ngram")
+        with pytest.raises(ValueError, match="min_tokens"):
+            eng.submit([1, 2], max_new_tokens=3, min_tokens=2)
+        [f] = eng.generate([[5, 9, 2]], max_new_tokens=3, temperature=0.0,
+                           logit_bias={7: 1e9})
+        assert f.tokens == [7, 7, 7]
