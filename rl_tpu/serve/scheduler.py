@@ -393,6 +393,17 @@ class ServingEngine:
         while self.step():
             pass
 
+    def stats(self) -> dict:
+        """Operational snapshot for LoggerMonitor (the stats() protocol
+        Collector/ReplayBuffer expose): queue depth, busy slots, counters."""
+        out = dict(queued=len(self._queue), busy_slots=len(self._slot_req),
+                   n_slots=self.n_slots, prefill_calls=self.prefill_calls,
+                   decode_steps=self.decode_steps,
+                   tokens_generated=self.tokens_generated)
+        if self.draft_serve is not None:
+            out["spec_acceptance"] = self.spec_acceptance
+        return out
+
     # -- collector integration ----------------------------------------------
     def as_chat_engine(self, encode, decode, *, max_new_tokens: int,
                        **sampling):
