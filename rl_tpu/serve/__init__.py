@@ -31,6 +31,13 @@ from rl_tpu.serve.engine import (
     sample_from_logits,
 )
 from rl_tpu.serve.scheduler import ServingEngine, Request
+from rl_tpu.serve.speculative import (
+    draft_prefill,
+    ngram_decode_chunk,
+    ngram_propose,
+    speculative_decode_chunk,
+    speculative_round,
+)
 
 __all__ = [
     "ServeLM",
@@ -42,4 +49,9 @@ __all__ = [
     "sample_from_logits",
     "ServingEngine",
     "Request",
+    "speculative_decode_chunk",
+    "speculative_round",
+    "draft_prefill",
+    "ngram_propose",
+    "ngram_decode_chunk",
 ]
