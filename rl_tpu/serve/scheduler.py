@@ -41,13 +41,20 @@ class Request:
 
     _ids = itertools.count()
 
-    def __init__(self, prompt_ids: Sequence[int], params: SamplingParams):
+    def __init__(self, prompt_ids: Sequence[int], params: SamplingParams,
+                 *, hold_slot: bool = False):
         self.id = next(Request._ids)
         self.prompt_ids = [int(t) for t in prompt_ids]
         self.params = params
         self.tokens: list[int] | None = None     # generated tokens (stop incl.)
         self.log_probs: np.ndarray | None = None
         self.prompt_logprobs: np.ndarray | None = None  # when requested
+        # multi-turn continuation (prefix reuse): hold_slot keeps the slot
+        # (and its KV prefix) reserved after completion so a follow-up turn
+        # can continue from it without re-prefilling the history
+        self.hold_slot = bool(hold_slot)
+        self._pinned_slot: int | None = None      # continuation target slot
+        self._start = 0                           # absolute prefill offset
         self._event = threading.Event()
 
     @property
@@ -118,6 +125,10 @@ class ServingEngine:
         # done (0 immediately for stop-token requests) — lets _harvest skip
         # device round-trips while no completion is possible
         self._slot_left: dict[int, int] = {}
+        # hold_slot requests park here after completion: req.id ->
+        # (slot, committed length) — the slot keeps its KV prefix reserved
+        # for a follow-up continue_request (multi-turn prefix reuse)
+        self._held: dict[int, tuple[int, int]] = {}
         self._lock = threading.Lock()
         self._running = False
         self._thread: threading.Thread | None = None
@@ -173,18 +184,20 @@ class ServingEngine:
 
     # -- client API ---------------------------------------------------------
     def submit(self, prompt_ids: Sequence[int], *, max_new_tokens: int,
-               **sampling) -> Request:
+               hold_slot: bool = False, _start: int = 0,
+               _pinned_slot: int | None = None, **sampling) -> Request:
         sp = SamplingParams(max_new_tokens=max_new_tokens, **sampling)
         if sp.max_new_tokens > self.max_new_cap:
             raise ValueError(
                 f"max_new_tokens={sp.max_new_tokens} > max_new_cap="
                 f"{self.max_new_cap}")
         margin = self.gamma if self.draft_serve is not None else 0
-        if len(prompt_ids) + sp.max_new_tokens + margin > self.max_len:
+        if _start + len(prompt_ids) + sp.max_new_tokens + margin \
+                > self.max_len:
             raise ValueError(
-                f"prompt ({len(prompt_ids)}) + max_new ({sp.max_new_tokens}) "
-                f"+ speculative margin ({margin}) exceeds "
-                f"max_len={self.max_len}")
+                f"start ({_start}) + prompt ({len(prompt_ids)}) + max_new "
+                f"({sp.max_new_tokens}) + speculative margin ({margin}) "
+                f"exceeds max_len={self.max_len}")
         if not prompt_ids:
             raise ValueError("empty prompt")
         if self.draft_serve is not None and sp.repetition_penalty != 1.0:
@@ -197,10 +210,39 @@ class ServingEngine:
                 "min_tokens is not supported with speculative decoding "
                 "(stop suppression at position i depends on the commit "
                 "count inside the verify window)")
-        req = Request(prompt_ids, sp)
+        req = Request(prompt_ids, sp, hold_slot=hold_slot)
+        req._start = int(_start)
+        req._pinned_slot = _pinned_slot
         with self._lock:
             self._queue.append(req)
         return req
+
+    def continue_request(self, prev: Request, prompt_ids: Sequence[int], *,
+                         max_new_tokens: int, **sampling) -> Request:
+        """Multi-turn continuation with KV-prefix reuse: append a new turn
+        to the slot ``prev`` completed on (``prev`` must have been
+        submitted with ``hold_slot=True`` and be complete).  Only the new
+        turn's tokens are prefilled — the conversation history's cache
+        rows are reused in place.  The previous turn's final token is
+        re-fed as the first prompt token (its K/V was never written by the
+        decode loop; the rewrite is idempotent for the target and fills
+        the draft's gap in speculative mode)."""
+        with self._lock:
+            if prev.id not in self._held:
+                raise ValueError(
+                    f"request {prev.id} holds no slot (hold_slot=True and "
+                    f"completed requests only; already continued/released?)")
+            slot, length = self._held.pop(prev.id)
+        full_prompt = [prev.tokens[-1] if prev.tokens else
+                       prev.prompt_ids[-1]] + [int(t) for t in prompt_ids]
+        return self.submit(full_prompt, max_new_tokens=max_new_tokens,
+                           hold_slot=True, _start=length - 1,
+                           _pinned_slot=slot, **sampling)
+
+    def release_slot(self, req: Request) -> None:
+        """Free a held slot (end of conversation)."""
+        with self._lock:
+            self._held.pop(req.id, None)
 
     def generate(self, prompts: Sequence[Sequence[int]], *,
                  max_new_tokens: int, **sampling) -> list[Request]:
@@ -235,23 +277,36 @@ class ServingEngine:
 
     # -- scheduler ----------------------------------------------------------
     def _free_slots(self) -> list[int]:
-        return [s for s in range(self.n_slots) if s not in self._slot_req]
+        held = {s for s, _ in self._held.values()}
+        return [s for s in range(self.n_slots)
+                if s not in self._slot_req and s not in held]
 
     def _admit(self) -> bool:
         """Prefill up to ``prefill_width`` queued requests into free slots.
         Returns True if any request was admitted."""
         with self._lock:
             free = self._free_slots()
-            take = min(len(self._queue), len(free), self.prefill_width)
+            # continuations are pinned to their held slot and don't consume
+            # a free one; FIFO order is preserved (no skipping ahead)
+            batch, used_free = [], 0
+            for r in list(self._queue):
+                if len(batch) >= self.prefill_width:
+                    break
+                if r._pinned_slot is None and used_free >= len(free):
+                    break
+                batch.append(r)
+                if r._pinned_slot is None:
+                    used_free += 1
+            take = len(batch)
             if take == 0:
                 return False
-            batch = self._queue[:take]
             del self._queue[:take]
         K = self.prefill_width
         plens = [len(r.prompt_ids) for r in batch]
         P = next(b for b in self.prompt_buckets if b >= max(plens))
         prompts = np.full((K, P), self.pad_id, np.int32)
         plen_arr = np.ones(K, np.int32)
+        start_arr = np.zeros(K, np.int32)
         valid = np.zeros(K, bool)
         rows = {k: [] for k in ("max_new", "temperature", "top_k", "top_p",
                                 "min_p", "repetition_penalty", "min_tokens",
@@ -260,22 +315,30 @@ class ServingEngine:
         has_bias = any(r.params.logit_bias for r in batch)
         bias_rows = [] if has_bias else None
         slot_ids = np.zeros(K, np.int32)
+        free_it = iter(free)
+        used_ids = set()
+        for i in range(take):
+            r = batch[i]
+            slot = r._pinned_slot if r._pinned_slot is not None \
+                else next(free_it)
+            slot_ids[i] = slot
+            used_ids.add(slot)
         # padding rows use distinct remaining slot ids (unique-per-call
         # contract of the scatter; masked rows write back current values)
         pad_slots = [s for s in range(self.n_slots)
-                     if s not in free[:take]][: K - take]
+                     if s not in used_ids][: K - take]
         for i in range(K):
             if i < take:
                 r = batch[i]
                 prompts[i, : plens[i]] = r.prompt_ids
                 plen_arr[i] = plens[i]
+                start_arr[i] = r._start
                 valid[i] = True
-                slot_ids[i] = free[i]
                 row = r.params.as_row(self.n_stop)
-                self._slot_req[free[i]] = r
+                self._slot_req[int(slot_ids[i])] = r
                 # prefill commits the first token; stop-token requests can
                 # finish any step, so they are always harvest-checked
-                self._slot_left[free[i]] = (
+                self._slot_left[int(slot_ids[i])] = (
                     0 if r.params.stop else r.params.max_new_tokens - 1)
             else:
                 slot_ids[i] = pad_slots[i - take]
@@ -294,26 +357,26 @@ class ServingEngine:
         if fn is None:
             serve = self.serve
             fn = jax.jit(
-                lambda p, c, s, sid, pr, pl, rq, ky, va: prefill(
-                    serve, p, c, s, sid, pr, pl, rq, ky, valid=va),
+                lambda p, c, s, sid, pr, pl, rq, ky, va, st: prefill(
+                    serve, p, c, s, sid, pr, pl, rq, ky, valid=va, start=st),
                 donate_argnums=(1, 2))
             self._prefill_fns[(K, P, has_bias)] = fn
         self._key, k = jax.random.split(self._key)
         self.cache, self.state = fn(self.params, self.cache, self.state,
                                     slot_ids, prompts, plen_arr, req_td, k,
-                                    valid)
+                                    valid, start_arr)
         if self.draft_serve is not None and not self._ngram:
             dfn = self._draft_prefill_fns.get((K, P))
             if dfn is None:
                 from rl_tpu.serve.speculative import draft_prefill
                 serve_d = self.draft_serve
                 dfn = jax.jit(
-                    lambda p, c, sid, pr, va: draft_prefill(
-                        serve_d, p, c, sid, pr, va),
+                    lambda p, c, sid, pr, va, st: draft_prefill(
+                        serve_d, p, c, sid, pr, va, start=st),
                     donate_argnums=(1,))
                 self._draft_prefill_fns[(K, P)] = dfn
             self.draft_cache = dfn(self.draft_params, self.draft_cache,
-                                   slot_ids, prompts, valid)
+                                   slot_ids, prompts, valid, start_arr)
         self.prefill_calls += 1
         return True
 
@@ -371,11 +434,15 @@ class ServingEngine:
             r = self._slot_req.pop(s)
             self._slot_left.pop(s, None)
             g = int(gen[s])
-            p0 = len(r.prompt_ids)
+            p0 = r._start + len(r.prompt_ids)
             r.tokens = [int(t) for t in toks[s, p0: p0 + g]]
             r.log_probs = np.asarray(lps[s, :g], np.float32)
             if r.params.prompt_logprobs:
-                r.prompt_logprobs = np.asarray(plps[s, :p0], np.float32)
+                r.prompt_logprobs = np.asarray(
+                    plps[s, r._start: p0], np.float32)
+            if r.hold_slot:
+                # park the slot (KV prefix intact) for continue_request
+                self._held[r.id] = (s, p0 + g)
             self.tokens_generated += g
             r._event.set()
         return len(finished)
@@ -392,6 +459,12 @@ class ServingEngine:
     def run_until_complete(self) -> None:
         while self.step():
             pass
+        if self._queue:
+            raise RuntimeError(
+                f"{len(self._queue)} request(s) cannot be scheduled: all "
+                f"{self.n_slots} slots are busy or held "
+                f"({len(self._held)} held) — release_slot() finished "
+                f"conversations or add slots")
 
     def stats(self) -> dict:
         """Operational snapshot for LoggerMonitor (the stats() protocol

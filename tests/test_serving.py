@@ -456,3 +456,61 @@ class TestBiasAndMinTokens:
         [f] = eng.generate([[5, 9, 2]], max_new_tokens=3, temperature=0.0,
                            logit_bias={7: 1e9})
         assert f.tokens == [7, 7, 7]
+
+
+class TestMultiTurnContinuation:
+    """hold_slot + continue_request: KV-prefix reuse across turns."""
+
+    def test_two_turn_exact(self, lm_and_params):
+        lm, params = lm_and_params
+        eng = ServingEngine(lm, params, n_slots=3, max_new_cap=8,
+                            decode_chunk_len=4)
+        t1, t2 = [5, 9, 13], [21, 2]
+        r1 = eng.submit(t1, max_new_tokens=4, temperature=0.0,
+                        hold_slot=True)
+        eng.run_until_complete()
+        assert r1.tokens == _greedy_ref(lm, params, t1, 4)
+        r2 = eng.continue_request(r1, t2, max_new_tokens=4, temperature=0.0)
+        eng.run_until_complete()
+        full = t1 + r1.tokens + t2
+        assert r2.tokens == _greedy_ref(lm, params, full, 4)
+        # three turns + interleaved fresh traffic on the other slots
+        eng.generate([[8, 8, 1], [2, 30]], max_new_tokens=5, temperature=0.0)
+        r3 = eng.continue_request(r2, [11], max_new_tokens=3,
+                                  temperature=0.0)
+        eng.run_until_complete()
+        assert r3.tokens == _greedy_ref(lm, params, full + r2.tokens + [11],
+                                        3)
+        eng.release_slot(r3)
+        with pytest.raises(ValueError, match="holds no slot"):
+            eng.continue_request(r1, [1], max_new_tokens=2)
+
+    def test_held_slot_starvation_raises(self, lm_and_params):
+        lm, params = lm_and_params
+        eng = ServingEngine(lm, params, n_slots=1, max_new_cap=8)
+        h = eng.submit([3, 2], max_new_tokens=3, temperature=0.0,
+                       hold_slot=True)
+        eng.run_until_complete()
+        eng.submit([4, 4], max_new_tokens=3)
+        with pytest.raises(RuntimeError, match="held"):
+            eng.run_until_complete()
+        eng.release_slot(h)
+        eng.run_until_complete()   # now schedulable
+
+    def test_speculative_continuation_exact(self, lm_and_params):
+        """The continuation re-feeds the previous turn's final token, so
+        the draft cache gap at the old frontier is filled and model-draft
+        speculation stays greedy-exact across turns."""
+        lm, params = lm_and_params
+        draft = TransformerLM(vocab_size=lm.vocab_size, n_layers=1,
+                              n_heads=2, d_model=16, max_len=lm.max_len)
+        dpar = draft.init(jax.random.PRNGKey(9),
+                          jnp.zeros((1, 4), jnp.int32))["params"]
+        eng = ServingEngine(lm, params, n_slots=2, max_new_cap=8,
+                            decode_chunk_len=5, draft=(draft, dpar), gamma=3)
+        t1, t2 = [5, 9, 13], [21, 2]
+        a = eng.submit(t1, max_new_tokens=4, temperature=0.0, hold_slot=True)
+        eng.run_until_complete()
+        b = eng.continue_request(a, t2, max_new_tokens=4, temperature=0.0)
+        eng.run_until_complete()
+        assert b.tokens == _greedy_ref(lm, params, t1 + a.tokens + t2, 4)
