@@ -24,6 +24,7 @@ Components:
 from rl_tpu.serve.engine import (
     ServeLM,
     SamplingParams,
+    TokenDFA,
     init_slot_cache,
     init_slot_state,
     prefill,
@@ -42,6 +43,7 @@ from rl_tpu.serve.speculative import (
 __all__ = [
     "ServeLM",
     "SamplingParams",
+    "TokenDFA",
     "init_slot_cache",
     "init_slot_state",
     "prefill",

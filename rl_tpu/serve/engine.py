@@ -38,9 +38,31 @@ import numpy as np
 from rl_tpu.data import TDict
 
 __all__ = [
-    "ServeLM", "SamplingParams", "init_slot_cache", "init_slot_state",
-    "prefill", "decode_chunk", "decode_step", "sample_from_logits",
+    "ServeLM", "SamplingParams", "TokenDFA", "init_slot_cache",
+    "init_slot_state", "prefill", "decode_chunk", "decode_step",
+    "sample_from_logits",
 ]
+
+
+class TokenDFA:
+    """Grammar-constrained ("guided") decoding as a token-level DFA — the
+    exact static-shape core of vLLM/outlines-style structured generation.
+
+    ``transition[state, token] = next_state``, with ``-1`` marking a
+    forbidden token in that state.  The DFA constrains GENERATED tokens
+    only: it starts at ``start_state`` after the prompt and advances on
+    each committed token.  States should either allow at least one token
+    or allow the request's stop token (a state with no legal token
+    degenerates to an unconstrained distribution — build total DFAs).
+    """
+
+    def __init__(self, transition, start_state: int = 0):
+        self.transition = np.asarray(transition, np.int32)
+        if self.transition.ndim != 2:
+            raise ValueError("transition must be [n_states, vocab]")
+        self.start_state = int(start_state)
+        if not (0 <= self.start_state < self.transition.shape[0]):
+            raise ValueError("start_state out of range")
 
 _NEG = -1e30
 
@@ -194,7 +216,7 @@ class SamplingParams:
                  top_k: int = 0, top_p: float = 1.0, min_p: float = 0.0,
                  repetition_penalty: float = 1.0, stop: tuple = (),
                  prompt_logprobs: bool = False, min_tokens: int = 0,
-                 logit_bias: dict | None = None):
+                 logit_bias: dict | None = None, use_grammar: bool = False):
         self.max_new_tokens = int(max_new_tokens)
         self.temperature = float(temperature)
         self.top_k = int(top_k)
@@ -209,6 +231,8 @@ class SamplingParams:
         # decode position (the OpenAI/vLLM logit_bias surface; -inf-like
         # values ban tokens, large positive values force them)
         self.logit_bias = dict(logit_bias) if logit_bias else None
+        # constrain generation with the ENGINE's TokenDFA grammar
+        self.use_grammar = bool(use_grammar)
         # also return per-token log-probs of the PROMPT under the model
         # (the vLLM ``prompt_logprobs`` / OpenAI ``echo`` surface; the RL
         # rescoring path gets behaviour log-probs for the whole sequence).
@@ -223,6 +247,7 @@ class SamplingParams:
                     top_k=self.top_k, top_p=self.top_p, min_p=self.min_p,
                     repetition_penalty=self.repetition_penalty,
                     min_tokens=self.min_tokens,
+                    use_grammar=bool(self.use_grammar),
                     stop=np.asarray(stop, np.int32))
 
     def bias_row(self, vocab_size: int) -> np.ndarray:
@@ -235,7 +260,8 @@ class SamplingParams:
 
 def init_slot_state(n_slots: int, max_len: int, max_new_cap: int,
                     *, n_stop: int = 4, pad_id: int = 0,
-                    vocab_size: int | None = None) -> TDict:
+                    vocab_size: int | None = None,
+                    grammar: "TokenDFA | None" = None) -> TDict:
     """Fresh slot table.  ``max_new_cap`` bounds any request's generation
     length (static log-prob buffer).  All fields are per-slot arrays:
 
@@ -245,8 +271,14 @@ def init_slot_state(n_slots: int, max_len: int, max_new_cap: int,
     table [S, V] (omitted → the bias surface is disabled).
     """
     S = int(n_slots)
-    extra = ({"logit_bias": jnp.zeros((S, int(vocab_size)), jnp.float32)}
-             if vocab_size else {})
+    extra = {}
+    if vocab_size:
+        extra["logit_bias"] = jnp.zeros((S, int(vocab_size)), jnp.float32)
+    if grammar is not None:
+        extra["dfa_trans"] = jnp.asarray(grammar.transition, jnp.int32)
+        extra["dfa_start"] = jnp.asarray(grammar.start_state, jnp.int32)
+        extra["dfa_state"] = jnp.zeros(S, jnp.int32)
+        extra["grammar_on"] = jnp.zeros(S, bool)
     return TDict(
         **extra,
         min_tokens=jnp.zeros(S, jnp.int32),
@@ -338,6 +370,15 @@ def sample_from_logits(logits, state: TDict, key, slot_ids=None):
         take(state["length"]))
     if state.get("logit_bias", None) is not None:
         logits = logits + take(state["logit_bias"])
+    if state.get("dfa_trans", None) is not None:
+        # grammar mask: forbid tokens with no DFA transition from the
+        # slot's current state (a state with no legal token degenerates to
+        # the unconstrained distribution rather than sampling uniform junk)
+        allowed = state["dfa_trans"][take(state["dfa_state"])] >= 0
+        on = take(state["grammar_on"])[:, None]
+        any_ok = allowed.any(-1, keepdims=True)
+        logits = jnp.where(on & any_ok & ~allowed,
+                           jnp.asarray(_NEG, logits.dtype), logits)
     # min_tokens: suppress stop tokens until enough tokens are committed
     K, V = logits.shape
     below = take(state["gen_count"]) < take(state["min_tokens"])
@@ -383,14 +424,23 @@ def _append_token(state: TDict, slot_ids, tok, lp, live_mask=None) -> TDict:
     done_new = state["done"][slot_ids] | (
         live & (hit_stop | (g_new >= state["max_new"][slot_ids])
                 | (length + 1 >= L)))
-    return state.update({
+    updates = {
         "tokens": tokens,
         "length": state["length"].at[slot_ids].set(
             jnp.where(live, length + 1, length)),
         "gen_count": state["gen_count"].at[slot_ids].set(g_new),
         "lps": lps,
         "done": state["done"].at[slot_ids].set(done_new),
-    })
+    }
+    if state.get("dfa_trans", None) is not None:
+        # advance the grammar DFA on the committed token
+        trans = state["dfa_trans"]
+        cur = state["dfa_state"][slot_ids]
+        nxt = trans[cur, jnp.clip(tok, 0, trans.shape[1] - 1)]
+        adv = live & state["grammar_on"][slot_ids]
+        updates["dfa_state"] = state["dfa_state"].at[slot_ids].set(
+            jnp.where(adv, jnp.maximum(nxt, 0), cur))
+    return state.update(updates)
 
 
 def prefill(serve: ServeLM, params, cache, state: TDict, slot_ids,
@@ -474,6 +524,18 @@ def prefill(serve: ServeLM, params, cache, state: TDict, slot_ids,
             valid[:, None], jnp.zeros_like(state["lps"][slot_ids]),
             state["lps"][slot_ids])),
     })
+
+    if state.get("dfa_trans", None) is not None:
+        # grammar constrains GENERATED tokens only: the DFA starts at
+        # start_state after the prompt (the prompt is context, not output)
+        ug = jnp.asarray(req.get("use_grammar", jnp.zeros(K, bool)), bool)
+        state = state.update({
+            "dfa_state": state["dfa_state"].at[slot_ids].set(
+                sel(jnp.broadcast_to(state["dfa_start"], (K,)),
+                    state["dfa_state"])),
+            "grammar_on": state["grammar_on"].at[slot_ids].set(
+                sel(ug, state["grammar_on"])),
+        })
 
     if state.get("logit_bias", None) is not None:
         # requests without a bias RESET their slot's row (a reused slot

@@ -101,7 +101,7 @@ class ServingEngine:
                  pad_id: int = 0, seed: int = 0,
                  prompt_buckets: Sequence[int] | None = None,
                  draft: tuple | str | None = None, gamma: int = 4,
-                 ngram_k: int = 2):
+                 ngram_k: int = 2, grammar=None):
         self.serve = lm if isinstance(lm, ServeLM) else ServeLM.from_lm(lm)
         self.params = params
         self.n_slots = int(n_slots)
@@ -115,10 +115,15 @@ class ServingEngine:
             _bucket_ladder(self.max_len)
         self._key = jax.random.PRNGKey(seed)
         self.cache = init_slot_cache(self.serve, self.n_slots)
+        self.grammar = grammar
+        if grammar is not None and \
+                grammar.transition.shape[1] != self.serve.vocab_size:
+            raise ValueError("grammar vocab != model vocab")
         self.state = init_slot_state(self.n_slots, self.max_len,
                                      self.max_new_cap, n_stop=self.n_stop,
                                      pad_id=self.pad_id,
-                                     vocab_size=self.serve.vocab_size)
+                                     vocab_size=self.serve.vocab_size,
+                                     grammar=grammar)
         self._queue: list[Request] = []
         self._slot_req: dict[int, Request] = {}      # busy slot -> request
         # lower bound on tokens a slot still must commit before it can be
@@ -210,6 +215,14 @@ class ServingEngine:
                 "min_tokens is not supported with speculative decoding "
                 "(stop suppression at position i depends on the commit "
                 "count inside the verify window)")
+        if sp.use_grammar and self.grammar is None:
+            raise ValueError("use_grammar=True but the engine has no "
+                             "grammar (pass ServingEngine(grammar=TokenDFA))")
+        if sp.use_grammar and self.draft_serve is not None:
+            raise ValueError(
+                "grammar-constrained decoding is not supported with "
+                "speculative decoding (the DFA state at position i depends "
+                "on tokens committed earlier in the same verify window)")
         req = Request(prompt_ids, sp, hold_slot=hold_slot)
         req._start = int(_start)
         req._pinned_slot = _pinned_slot
@@ -310,7 +323,7 @@ class ServingEngine:
         valid = np.zeros(K, bool)
         rows = {k: [] for k in ("max_new", "temperature", "top_k", "top_p",
                                 "min_p", "repetition_penalty", "min_tokens",
-                                "stop")}
+                                "use_grammar", "stop")}
         dummy = SamplingParams(max_new_tokens=1).as_row(self.n_stop)
         has_bias = any(r.params.logit_bias for r in batch)
         bias_rows = [] if has_bias else None

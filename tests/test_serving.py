@@ -514,3 +514,46 @@ class TestMultiTurnContinuation:
         b = eng.continue_request(a, t2, max_new_tokens=4, temperature=0.0)
         eng.run_until_complete()
         assert b.tokens == _greedy_ref(lm, params, t1 + a.tokens + t2, 4)
+
+
+class TestGrammarConstrainedDecoding:
+    """TokenDFA guided decoding (the vLLM/outlines structured-generation
+    analogue): forbidden tokens masked per slot, DFA advanced per commit."""
+
+    def _dfa(self, V):
+        from rl_tpu.serve import TokenDFA
+        trans = -np.ones((3, V), np.int32)
+        trans[0, 1] = 1
+        trans[0, 2] = 1
+        trans[1, 3] = 2
+        trans[1, 4] = 2
+        trans[2, 0] = 0
+        return TokenDFA(trans, start_state=0)
+
+    def test_outputs_follow_grammar(self, lm_and_params):
+        lm, params = lm_and_params
+        eng = ServingEngine(lm, params, n_slots=3, max_new_cap=9,
+                            grammar=self._dfa(lm.vocab_size))
+        reqs = eng.generate([[5, 7], [3, 3, 9]], max_new_tokens=9,
+                            temperature=1.0, use_grammar=True)
+        for r in reqs:
+            t = r.tokens
+            for i in range(0, 9, 3):
+                assert t[i] in (1, 2) and t[i + 1] in (3, 4) and t[i + 2] == 0
+        # an unconstrained request reusing a slot is unaffected
+        [u] = eng.generate([[5, 7]], max_new_tokens=6, temperature=0.0)
+        assert u.tokens == _greedy_ref(lm, params, [5, 7], 6)
+
+    def test_grammar_validation(self, lm_and_params):
+        lm, params = lm_and_params
+        plain = ServingEngine(lm, params, n_slots=2, max_new_cap=4)
+        with pytest.raises(ValueError, match="no .?grammar"):
+            plain.submit([1], max_new_tokens=2, use_grammar=True)
+        spec = ServingEngine(lm, params, n_slots=2, max_new_cap=8,
+                             draft="ngram", grammar=self._dfa(lm.vocab_size))
+        with pytest.raises(ValueError, match="speculative"):
+            spec.submit([1], max_new_tokens=2, use_grammar=True)
+        from rl_tpu.serve import TokenDFA
+        with pytest.raises(ValueError, match="vocab"):
+            ServingEngine(lm, params, n_slots=2, max_new_cap=4,
+                          grammar=TokenDFA(-np.ones((2, 7), np.int32)))
