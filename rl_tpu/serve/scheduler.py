@@ -245,12 +245,16 @@ class ServingEngine:
                 raise ValueError(
                     f"request {prev.id} holds no slot (hold_slot=True and "
                     f"completed requests only; already continued/released?)")
-            slot, length = self._held.pop(prev.id)
+            slot, length = self._held[prev.id]
         full_prompt = [prev.tokens[-1] if prev.tokens else
                        prev.prompt_ids[-1]] + [int(t) for t in prompt_ids]
-        return self.submit(full_prompt, max_new_tokens=max_new_tokens,
-                           hold_slot=True, _start=length - 1,
-                           _pinned_slot=slot, **sampling)
+        # submit first: a validation error must leave the slot held
+        req = self.submit(full_prompt, max_new_tokens=max_new_tokens,
+                          hold_slot=True, _start=length - 1,
+                          _pinned_slot=slot, **sampling)
+        with self._lock:
+            self._held.pop(prev.id, None)
+        return req
 
     def release_slot(self, req: Request) -> None:
         """Free a held slot (end of conversation)."""

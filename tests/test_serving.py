@@ -557,3 +557,19 @@ class TestGrammarConstrainedDecoding:
         with pytest.raises(ValueError, match="vocab"):
             ServingEngine(lm, params, n_slots=2, max_new_cap=4,
                           grammar=TokenDFA(-np.ones((2, 7), np.int32)))
+
+    def test_failed_continuation_leaves_slot_held(self, lm_and_params):
+        """A continue_request that fails validation must not un-hold the
+        slot (the conversation prefix stays reusable)."""
+        lm, params = lm_and_params
+        eng = ServingEngine(lm, params, n_slots=2, max_new_cap=8)
+        r1 = eng.submit([5, 9], max_new_tokens=3, temperature=0.0,
+                        hold_slot=True)
+        eng.run_until_complete()
+        with pytest.raises(ValueError):
+            eng.continue_request(r1, [2], max_new_tokens=99)   # > cap
+        # the slot is still held: a valid continuation succeeds
+        r2 = eng.continue_request(r1, [2], max_new_tokens=3, temperature=0.0)
+        eng.run_until_complete()
+        assert r2.tokens == _greedy_ref(
+            lm, params, [5, 9] + r1.tokens + [2], 3)
